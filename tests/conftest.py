@@ -1,13 +1,14 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Must set the XLA flags before jax is imported anywhere (SURVEY.md §4.4:
-distributed tests fake an 8-device mesh on CPU via
-``--xla_force_host_platform_device_count``).
+SURVEY.md §4.4: distributed tests fake an 8-device mesh on CPU via
+``--xla_force_host_platform_device_count``. The XLA flag must be set before
+jax initializes backends. NOTE: this environment's sitecustomize pins
+``jax_platforms`` to "axon,cpu" (TPU-first) via ``jax.config`` — the env var
+alone does not override it, so we update the config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +16,5 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,110 @@
+"""VF-NeRF training loss.
+
+Reference: ``models/losses/vf_loss.py:13-87``. Terms (weights from
+``confs/vf_nerf.conf:77-91``):
+
+- RGB L1,
+- depth L1 clamped elementwise at ``depth_loss_clamp`` before the mean,
+- unit-norm regularizer ``mean((||v|| - 1)^2)`` over all rendered normals,
+- MSE VF supervision at border/centre points,
+- ``relu(||v|| - 1)^2`` hinge, gated by ``norm_smaller_than_one_start``,
+- mean directional-derivative norm, gated by
+  ``directional_derivatives_start``.
+
+Epoch gates are traced (``jnp.where`` on ``epoch``) so the step function
+never retraces across epochs.
+
+TPU-shaped deviation: the supervision term consumes *(mask, pred, gt)*
+triples with static shapes instead of boolean-gathered arrays; the masked MSE
+equals the reference's MSE over the gathered concatenation exactly (same sum
+of squared errors, same element count).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from vf_nerf_tpu.config.schema import VFLossConfig, VFLossWeights
+
+
+def masked_sq_err(pred: jnp.ndarray, gt: jnp.ndarray,
+                  mask: Optional[jnp.ndarray]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum of squared errors over masked rows, number of masked elements)."""
+    sq = (pred - gt) ** 2
+    if mask is None:
+        return jnp.sum(sq), jnp.asarray(sq.size, sq.dtype)
+    m = mask.astype(sq.dtype)
+    count = jnp.sum(m) * sq.shape[-1]
+    return jnp.sum(sq * m[..., None]), count
+
+
+def vf_loss(predictions: Dict[str, jnp.ndarray],
+            ground_truth: Dict[str, jnp.ndarray],
+            supervision_terms: Sequence[Tuple[jnp.ndarray, jnp.ndarray,
+                                              Optional[jnp.ndarray]]],
+            weights: VFLossWeights,
+            config: VFLossConfig,
+            epoch: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Compute the weighted total loss and per-term scalars.
+
+    :param predictions: ``rgb`` (R, 3), ``depth`` (R, 1), ``normals``
+        (N, 3) all rendered field samples, optional
+        ``dir_derivative_norms`` (M,).
+    :param ground_truth: ``rgb`` (R, 3), ``depth`` (R, 1) (size 0 to skip).
+    :param supervision_terms: list of (pred_normals, gt_normals, mask or None)
+        triples pooled into one MSE, mirroring the reference's concatenation
+        of ray-masked + shell-sampled supervision normals
+        (``train/vector_field_nerf_train.py:180-216``).
+    :param epoch: traced scalar epoch for the loss gates.
+    :return: (total, dict of per-term raw losses).
+    """
+    rgb_loss = jnp.mean(jnp.abs(predictions["rgb"] - ground_truth["rgb"]))
+
+    gt_depth = ground_truth.get("depth")
+    if gt_depth is not None and gt_depth.size > 0:
+        per_elem = jnp.abs(predictions["depth"] - gt_depth)
+        depth_loss = jnp.mean(jnp.minimum(per_elem, config.depth_loss_clamp))
+    else:
+        depth_loss = jnp.asarray(0.0, rgb_loss.dtype)
+
+    norms = jnp.linalg.norm(predictions["normals"], axis=1)
+    unit_norm_loss = jnp.mean((norms - 1.0) ** 2)
+
+    sup_sum = jnp.asarray(0.0, rgb_loss.dtype)
+    sup_count = jnp.asarray(0.0, rgb_loss.dtype)
+    for pred_n, gt_n, mask in supervision_terms:
+        s, c = masked_sq_err(pred_n, gt_n, mask)
+        sup_sum = sup_sum + s
+        sup_count = sup_count + c
+    supervision_loss = jnp.where(sup_count > 0, sup_sum / jnp.maximum(
+        sup_count, 1.0), 0.0)
+
+    hinge = jnp.mean(jnp.maximum(norms - 1.0, 0.0) ** 2)
+    norm_hinge_loss = jnp.where(epoch >= config.norm_smaller_than_one_start,
+                                hinge, 0.0)
+
+    dd = predictions.get("dir_derivative_norms")
+    if dd is not None:
+        dir_deriv_loss = jnp.where(
+            epoch >= config.directional_derivatives_start, jnp.mean(dd), 0.0)
+    else:
+        dir_deriv_loss = jnp.asarray(0.0, rgb_loss.dtype)
+
+    total = (weights.rgb * rgb_loss +
+             weights.depth * depth_loss +
+             weights.unit_norm * unit_norm_loss +
+             weights.supervision * supervision_loss +
+             weights.norm_smaller_than_one * norm_hinge_loss +
+             weights.directional_derivatives * dir_deriv_loss)
+
+    return total, {
+        "rgb_loss": rgb_loss,
+        "depth_loss": depth_loss,
+        "unit_norm_loss": unit_norm_loss,
+        "supervision_loss": supervision_loss,
+        "norm_smaller_than_one_loss": norm_hinge_loss,
+        "directional_derivatives_loss": dir_deriv_loss,
+    }

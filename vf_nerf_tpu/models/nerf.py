@@ -1,0 +1,312 @@
+"""Model facade: ``VectorFieldNerf``.
+
+Mirrors the reference facade's public surface
+(``models/nerf/vector_field_nerf.py:23-526`` — render / get_colors /
+get_vector_field / get_weights_and_color / save / load / train / eval /
+new_scheduler / reset_scheduler) on top of pure-functional JAX state:
+
+- all learnable state lives in one pytree (``TrainState``): network params,
+  BatchNorm stats, the learned density scalars, optax optimizer state and the
+  schedule step,
+- the optimizer is Adam + per-iteration exponential LR decay with global-norm
+  clipping (reference ``:63-67`` + ``train/vector_field_nerf_train.py:255-260``),
+- rendering is a cached-jit pure function per ``RenderStatics`` (fine-sample
+  growth re-jits a handful of times per run, each cached),
+- the reference trainer's eval-mode quirk (whole model in BN-eval mode when
+  the directional-derivative weight is 0, ``vector_field_nerf_train.py:140-141``)
+  is exposed as the ``train_mode`` flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from vf_nerf_tpu.config.schema import SchedulerConfig, VFNerfConfig
+from vf_nerf_tpu.models.renderer import (RenderStatics, VFNerfModules,
+                                         render_rays, render_vector_field)
+from vf_nerf_tpu.ops.annealing import annealed_window_weights
+from vf_nerf_tpu.ops.density import (DensityParams, get_beta, get_mean,
+                                     get_scale)
+from vf_nerf_tpu.utils import checkpoint as ckpt_io
+
+
+class TrainState(struct.PyTreeNode):
+    """All trainable/optimizer state as one pytree (replicated across the
+    data mesh; see ``parallel/``)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_optimizer(cfg: SchedulerConfig,
+                   decay_steps: Optional[int] = None
+                   ) -> Tuple[optax.GradientTransformation, Any]:
+    """Adam + exponential per-step LR decay + global-norm clip.
+
+    Reference: optimizer+scheduler ownership in the facade
+    (``vector_field_nerf.py:63-67``; γ = decay_factor^(1/decay_steps)) and
+    grad clipping in the trainer (``vector_field_nerf_train.py:255-256``).
+    torch Adam's L2 weight decay (in-gradient) maps to
+    ``add_decayed_weights`` *before* the Adam moments.
+    """
+    steps = decay_steps if decay_steps is not None else cfg.lr_decay_steps
+    gamma = cfg.lr_decay_factor ** (1.0 / max(steps, 1))
+    schedule = optax.exponential_decay(cfg.lr, transition_steps=1,
+                                       decay_rate=gamma)
+    parts = [optax.clip_by_global_norm(cfg.clip_norm)]
+    if cfg.weight_decay > 0:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts += [optax.scale_by_adam(), optax.scale_by_learning_rate(schedule)]
+    return optax.chain(*parts), schedule
+
+
+class VectorFieldNerf:
+    """The VF-NeRF model: module defs + mutable host-side handle on the
+    functional train state."""
+
+    def __init__(self, config: VFNerfConfig, seed: int = 42,
+                 decay_steps: Optional[int] = None) -> None:
+        self.config = config
+        self.modules = VFNerfModules(config)
+        self._rng = jax.random.PRNGKey(seed)
+
+        key = self._next_key()
+        variables = self.modules.init_variables(key)
+        self.optimizer, self.lr_schedule = make_optimizer(
+            config.scheduler_config, decay_steps)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32))
+
+        # Fine-sample growth state (reference RangeFineSampler.N_samples,
+        # grown by the trainer; ray_sampler.py:276).
+        self.fine_n_samples = config.ray_sampler_config.n_importance
+        # BN mode; reference trainer quirk sets eval when dir-deriv weight==0.
+        self.train_mode = False
+        # Current (annealed) window weights.
+        self.window_weights = np.asarray(config.cos_sim_weights,
+                                         dtype=np.float32)
+        # near/far come from the dataset (trainer :43-45); defaults from conf.
+        self.near = config.ray_sampler_config.near
+        self.far = config.ray_sampler_config.far
+
+    # ------------------------------------------------------------------ rng
+    def _next_key(self) -> jax.Array:
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    # ------------------------------------------------------------- modes
+    def train(self) -> None:
+        """BN/dropout train mode — unless ``numerical_jacobian`` keeps the VF
+        net frozen (reference ``vector_field_nerf.py:139-150``)."""
+        self.train_mode = not self.config.numerical_jacobian
+
+    def eval(self) -> None:
+        self.train_mode = False
+
+    # ------------------------------------------------------ window weights
+    def update_annealing(self, epoch: int) -> np.ndarray:
+        """Epoch-gated window-weight annealing (reference ``render``
+        ``:232-234``); returns the active weights."""
+        self.window_weights = annealed_window_weights(
+            np.asarray(self.config.cos_sim_weights, np.float32),
+            self.config.cos_sim_weights_anneal,
+            self.config.anneal_start, self.config.anneal_end, epoch)
+        return self.window_weights
+
+    # ------------------------------------------------------------ statics
+    def render_statics(self, train: Optional[bool] = None,
+                       white_background: bool = False,
+                       compute_dir_derivatives: bool = False,
+                       n_fine: Optional[int] = None) -> RenderStatics:
+        return RenderStatics.from_config(
+            self.config,
+            n_fine=self.fine_n_samples if n_fine is None else n_fine,
+            train=self.train_mode if train is None else train,
+            white_background=white_background,
+            compute_dir_derivatives=compute_dir_derivatives)
+
+    @functools.lru_cache(maxsize=32)
+    def _jitted_render(self, statics: RenderStatics):
+        def fn(variables, uv, pose, intrinsics, near, far, weights, key):
+            return render_rays(self.modules, variables, uv, pose, intrinsics,
+                               near, far, weights, key, statics)
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------- render
+    def render(self, pose, pixels, intrinsics, epoch: int,
+               white: bool = False) -> Dict[str, jnp.ndarray]:
+        """Facade render (reference ``render``, ``:216-338``): anneal, ray
+        gen, coarse+fine, compositing. Returns the output dict of
+        ``render_rays``."""
+        self.update_annealing(epoch)
+        statics = self.render_statics(white_background=white)
+        fn = self._jitted_render(statics)
+        return fn(self.state.variables(), jnp.asarray(pixels),
+                  jnp.asarray(pose), jnp.asarray(intrinsics),
+                  jnp.asarray(self.near, jnp.float32),
+                  jnp.asarray(self.far, jnp.float32),
+                  jnp.asarray(self.window_weights), self._next_key())
+
+    def get_vector_field(self, points) -> jnp.ndarray:
+        """Raw field at points (reference ``get_vector_field``, ``:380-403``)."""
+        return render_vector_field(self.modules, self.state.variables(),
+                                   jnp.asarray(points),
+                                   train=False)
+
+    def get_colors(self, pose, pixels, intrinsics,
+                   epoch: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-sample colors on the coarse grid (reference ``get_colors``,
+        ``:341-378``; joint-optimization support surface)."""
+        out = self.render(pose, pixels, intrinsics, epoch)
+        n = out["sample_colors"].shape[0] * out["sample_colors"].shape[1]
+        return (out["sample_colors"].reshape(n, 3),
+                out["points"].reshape(n, 3),
+                jnp.repeat(out["points"][:, :1, :], out["points"].shape[1],
+                           axis=1).reshape(n, 3))
+
+    def get_weights_and_color(self, points, repeated_ray_dirs, z_vals,
+                              epoch: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Weights + per-sample colors for externally-supplied points
+        (reference ``get_weights_and_color``, ``:405-440``; used by the joint
+        pose-field optimization stage)."""
+        from vf_nerf_tpu.models.renderer import get_density as _get_density
+        from vf_nerf_tpu.ops import compositing
+
+        self.update_annealing(epoch)
+        statics = self.render_statics()
+        variables = self.state.variables()
+        points = jnp.asarray(points)
+        z_vals = jnp.asarray(z_vals)
+        dirs = jnp.asarray(repeated_ray_dirs)
+
+        flat = points.reshape(-1, 3)
+        vf_out = self.modules.vf_apply(variables, flat,
+                                       train=statics.train)
+        feat_dim = self.config.vf_net_config.feature_vector_dims
+        normals_flat, feats = vf_out[:, :3], vf_out[:, 3:3 + feat_dim]
+        normals = normals_flat.reshape(z_vals.shape[0], z_vals.shape[1], 3)
+
+        sigma = _get_density(normals, dirs.reshape(normals.shape),
+                             variables["params"]["density"],
+                             jnp.asarray(self.window_weights), statics,
+                             fine=True)
+        if statics.rendering == "volsdf":
+            weights = compositing.volsdf_volume_rendering(
+                z_vals, sigma, statics.normalize_rendering)
+        else:
+            weights = compositing.nerf_volume_rendering(
+                z_vals, sigma, statics.normalize_rendering)
+        rgb = self.modules.render_apply(variables, flat, normals_flat,
+                                        dirs.reshape(-1, 3), feats,
+                                        train=statics.train)
+        return weights, rgb
+
+    # --------------------------------------------------------- density log
+    def density_scalars(self) -> Dict[str, float]:
+        """Clamped learned density params for logging (reference trainer
+        ``:286-288``)."""
+        d: DensityParams = self.state.params["density"]
+        dc = self.config.density_config
+        return {"beta": float(get_beta(d, tuple(dc.beta_bounds))),
+                "scale": float(get_scale(d, dc.scale_min)),
+                "mean": float(get_mean(d, tuple(dc.mean_bounds)))}
+
+    def current_lr(self) -> float:
+        return float(self.lr_schedule(int(self.state.step)))
+
+    # ------------------------------------------------------------ schedule
+    def reset_scheduler(self, num_steps: Optional[int] = None) -> None:
+        """Fresh Adam + schedule (reference ``reset_scheduler``, ``:115-125``)."""
+        self.optimizer, self.lr_schedule = make_optimizer(
+            self.config.scheduler_config, num_steps)
+        self.state = self.state.replace(
+            opt_state=self.optimizer.init(self.state.params),
+            step=jnp.zeros((), jnp.int32))
+
+    new_scheduler = reset_scheduler  # reference ``new_scheduler`` (:105-113)
+
+    # ---------------------------------------------------------- checkpoint
+    def _ckpt_state(self, epoch: int) -> Dict[str, Any]:
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "epoch": epoch,
+                "fine_n_samples": self.fine_n_samples}
+
+    def save(self, epoch: int, path_dir: str) -> str:
+        """Write ``{epoch}.ckpt`` + ``latest.ckpt``
+        (reference ``save``, ``:196-214``)."""
+        return ckpt_io.save_checkpoint(path_dir, epoch,
+                                       self._ckpt_state(epoch))
+
+    def load(self, path: str) -> int:
+        """Restore state; returns saved epoch + 1
+        (reference ``load``, ``:162-194``)."""
+        restored = ckpt_io.load_checkpoint(path, self._ckpt_state(0))
+        self.state = TrainState(params=restored["params"],
+                                batch_stats=restored["batch_stats"],
+                                opt_state=restored["opt_state"],
+                                step=jnp.asarray(restored["step"]))
+        self.fine_n_samples = int(restored["fine_n_samples"])
+        return int(restored["epoch"]) + 1
+
+    def load_reference_pth(self, path: str) -> int:
+        """Import a reference torch checkpoint's network/density weights for
+        parity runs (optimizer state is reinitialized)."""
+        from vf_nerf_tpu.ops.density import init_density_params
+        from vf_nerf_tpu.utils.torch_import import (
+            density_params_from_torch, load_torch_checkpoint,
+            mlp_state_from_torch)
+
+        blob = load_torch_checkpoint(path)
+        vf_cfg = self.config.vf_net_config
+        rn_cfg = self.config.rendering_net_config
+        vf_params, vf_stats = mlp_state_from_torch(
+            blob["vf_net"], n_layers=len(vf_cfg.dimensions) + 1,
+            batch_norm=vf_cfg.batch_norm, weight_norm=vf_cfg.weight_norm)
+        rn_params, rn_stats = mlp_state_from_torch(
+            blob["rendering_net"], n_layers=len(rn_cfg.dimensions) + 1,
+            batch_norm=rn_cfg.batch_norm, weight_norm=rn_cfg.weight_norm)
+        density = init_density_params(
+            density_params_from_torch(blob["density"]))
+
+        params = {"vf": vf_params, "render": rn_params, "density": density}
+        self.state = TrainState(params=params,
+                                batch_stats={"vf": vf_stats,
+                                             "render": rn_stats},
+                                opt_state=self.optimizer.init(params),
+                                step=jnp.zeros((), jnp.int32))
+        return int(blob.get("epoch", 0)) + 1
+
+    def load_vf_init(self, path: str) -> None:
+        """Load pretrained VF-init weights into the vf net only (reference
+        ``VectorFieldNetwork.load_init``, ``vector_field_network.py:109-138``;
+        regenerated by ``train/vf_init.py`` since the reference ships LFS
+        stubs — SURVEY.md §3.5)."""
+        import pickle
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        params = dict(self.state.params)
+        params["vf"] = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        batch_stats = dict(self.state.batch_stats)
+        batch_stats["vf"] = jax.tree_util.tree_map(jnp.asarray,
+                                                   blob.get("batch_stats", {}))
+        self.state = self.state.replace(params=params,
+                                        batch_stats=batch_stats,
+                                        opt_state=self.optimizer.init(params))

@@ -1,0 +1,295 @@
+"""The fused functional renderer: one jitted function per train/eval step.
+
+Reference call stack: ``VectorFieldNerf.render``
+(``models/nerf/vector_field_nerf.py:216-338``) — ray gen → coarse stratified
+sampling → VF forward (no grad) → windowed-cosine density → VolSDF weights →
+argmax-range fine sampling → VF forward (grads) → density → weights → color
+MLP → compositing. Here the whole pipeline is a single pure function that XLA
+fuses; ``stop_gradient`` replaces the reference's ``torch.no_grad`` coarse
+pass (the coarse weights only steer the non-differentiable argmax sampler).
+
+Reference quirks reproduced on purpose:
+
+- ``get_density`` uses a **uniform** ``1/W`` window for every annealing mode
+  except ``anneal_fine`` (``vector_field_nerf.py:453-455``); since the
+  reference's config validation rejects ``anneal_fine``
+  (``config_parser/vf_nerf_config.py:120-122``), annealed weights never shape
+  the density in any valid reference run. We apply the same selection.
+- Back-facing suppression zeroes density where the normal-to-ray cosine is
+  below ``dir_to_normal_th`` AND the windowed cosine is negative
+  (``:464-470``); the last sample's density is forced to 0 (``:471-472``).
+
+Deviations (documented, quirk-compat not needed for parity):
+
+- the coarse-only path (n_importance == 0) works (the reference raises
+  ``NameError``, SURVEY.md §3.2),
+- directional derivatives are computed on the fine (grad) pass so their loss
+  actually receives gradients (the reference's analytic branch computes them
+  under ``no_grad`` and then discards the fine ones at ``:305``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vf_nerf_tpu.config.schema import VFNerfConfig
+from vf_nerf_tpu.models.networks import (RenderingMLP, VectorFieldMLP,
+                                         directional_derivatives,
+                                         numerical_vf_jacobian, vf_jacobian)
+from vf_nerf_tpu.ops import compositing, samplers
+from vf_nerf_tpu.ops.density import DensityParams, laplace_density
+from vf_nerf_tpu.ops.rays import get_ray_directions_and_cam_location
+from vf_nerf_tpu.ops.window import cosine_similarity, window_cosine_similarity
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderStatics:
+    """Hashable static configuration for the jitted render functions.
+
+    Changing ``n_fine`` (the fine-sample count grows +5 every
+    ``increase_every`` epochs, ``train/vector_field_nerf_train.py:146-147``)
+    triggers a re-jit — a handful of compiles over a full run, each cached.
+    """
+
+    n_coarse: int
+    n_fine: int
+    n_window: int
+    perturb: bool
+    rendering: str                 # "volsdf" | "nerf"
+    normalize_rendering: bool
+    dir_to_normal_th: float
+    cutoff: float
+    beta_bounds: Tuple[float, float]
+    scale_min: float
+    mean_bounds: Tuple[float, float]
+    anneal_mode: str
+    compute_dir_derivatives: bool
+    numerical_jacobian: bool
+    white_background: bool
+    train: bool                    # BatchNorm mode for both nets
+
+    @staticmethod
+    def from_config(cfg: VFNerfConfig, n_fine: int, train: bool,
+                    white_background: bool = False,
+                    compute_dir_derivatives: bool = False) -> "RenderStatics":
+        rs = cfg.ray_sampler_config
+        d = cfg.density_config
+        return RenderStatics(
+            n_coarse=rs.n_samples,
+            n_fine=min(n_fine, rs.max_samples) if n_fine > 0 else 0,
+            n_window=len(cfg.cos_sim_weights),
+            perturb=rs.perturb,
+            rendering=cfg.rendering,
+            normalize_rendering=cfg.normalize_rendering,
+            dir_to_normal_th=cfg.dir_to_normal_th,
+            cutoff=d.cutoff,
+            beta_bounds=tuple(d.beta_bounds),
+            scale_min=d.scale_min,
+            mean_bounds=tuple(d.mean_bounds),
+            anneal_mode=cfg.cos_sim_weights_anneal,
+            compute_dir_derivatives=compute_dir_derivatives,
+            numerical_jacobian=cfg.numerical_jacobian,
+            white_background=white_background,
+            train=train,
+        )
+
+
+class VFNerfModules:
+    """The two Flax module definitions, built once from config."""
+
+    def __init__(self, cfg: VFNerfConfig) -> None:
+        self.cfg = cfg
+        self.vf = VectorFieldMLP(cfg.vf_net_config)
+        self.render = RenderingMLP(cfg.rendering_net_config)
+
+    def init_variables(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize all network variables + density params as one pytree."""
+        k_vf, k_render = jax.random.split(key)
+        vf_vars = self.vf.init(k_vf, jnp.zeros((8, 3)), train=False)
+        render_vars = self.render.init(
+            k_render, jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+            jnp.zeros((8, 3)),
+            jnp.zeros((8, self.cfg.rendering_net_config.feature_vector_dims)),
+            train=False)
+        from vf_nerf_tpu.ops.density import init_density_params
+        return {
+            "params": {"vf": vf_vars["params"],
+                       "render": render_vars["params"],
+                       "density": init_density_params(
+                           self.cfg.density_config.params_init)},
+            "batch_stats": {"vf": vf_vars.get("batch_stats", {}),
+                            "render": render_vars.get("batch_stats", {})},
+        }
+
+    def vf_apply(self, variables: Dict[str, Any], points: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        vars_ = {"params": variables["params"]["vf"]}
+        if variables["batch_stats"].get("vf"):
+            vars_["batch_stats"] = variables["batch_stats"]["vf"]
+        return self.vf.apply(vars_, points, train=train)
+
+    def render_apply(self, variables: Dict[str, Any], points, normals,
+                     view_dirs, feats, train: bool) -> jnp.ndarray:
+        vars_ = {"params": variables["params"]["render"]}
+        if variables["batch_stats"].get("render"):
+            vars_["batch_stats"] = variables["batch_stats"]["render"]
+        return self.render.apply(vars_, points, normals, view_dirs, feats,
+                                 train=train)
+
+
+def get_density(normals: jnp.ndarray,
+                ray_dirs: jnp.ndarray,
+                density_params: DensityParams,
+                window_weights: jnp.ndarray,
+                statics: RenderStatics,
+                fine: bool) -> jnp.ndarray:
+    """VF → σ glue (reference ``VectorFieldNerf.get_density``,
+    ``models/nerf/vector_field_nerf.py:442-474``).
+
+    :param normals: (R, S, 3) field samples along rays.
+    :param ray_dirs: (R, S, 3) unit ray dirs repeated over samples.
+    :param window_weights: (W,) the *annealed* weights — only consulted in
+        ``anneal_fine`` mode on the fine pass, per the reference quirk.
+    :return: (R, S) densities with back-facing suppression and σ_last = 0.
+    """
+    n_taps = statics.n_window
+    if statics.anneal_mode == "anneal_fine" and fine:
+        weights = window_weights
+    else:
+        weights = jnp.full((n_taps,), 1.0 / n_taps, dtype=normals.dtype)
+
+    cos = window_cosine_similarity(normals[:, :-1], normals[:, 1:], weights)
+    cos_ray = cosine_similarity(normals[:, :-1], ray_dirs[:, :-1])
+
+    sigma = laplace_density(-cos, density_params, statics.beta_bounds,
+                            statics.scale_min, statics.mean_bounds,
+                            cutoff=statics.cutoff)
+    suppress = jnp.logical_and(cos_ray < statics.dir_to_normal_th, cos < 0.0)
+    sigma = jnp.where(suppress, 0.0, sigma)
+    # Last sample: cosine treated as 1 → σ = 0 (reference :471-472).
+    return jnp.concatenate(
+        [sigma, jnp.zeros((sigma.shape[0], 1), sigma.dtype)], axis=-1)
+
+
+def _weights_from_density(z_vals: jnp.ndarray, sigma: jnp.ndarray,
+                          statics: RenderStatics) -> jnp.ndarray:
+    if statics.rendering == "volsdf":
+        return compositing.volsdf_volume_rendering(
+            z_vals, sigma, statics.normalize_rendering)
+    return compositing.nerf_volume_rendering(z_vals, sigma,
+                                             statics.normalize_rendering)
+
+
+def render_rays(modules: VFNerfModules,
+                variables: Dict[str, Any],
+                uv: jnp.ndarray,
+                pose: jnp.ndarray,
+                intrinsics: jnp.ndarray,
+                near: jnp.ndarray,
+                far: jnp.ndarray,
+                window_weights: jnp.ndarray,
+                key: jax.Array,
+                statics: RenderStatics) -> Dict[str, jnp.ndarray]:
+    """Render a batch of rays end to end (reference ``render``, §3.2).
+
+    :param uv: (R, 2) pixels; ``pose`` (R, 4, 4) or (R, 7); ``intrinsics``
+        (R, 4, 4); ``near``/``far`` scalars; ``window_weights`` (W,).
+    :return: dict with rgb (R, 3), depth (R,), normals (R, S, 3),
+        points (R, S, 3), z_vals (R, S), weights (R, S), sample colors
+        (R, S, 3), and optional dir_derivative_norms.
+    """
+    k_coarse, k_fine = jax.random.split(key)
+    n_rays = uv.shape[0]
+    density_params: DensityParams = variables["params"]["density"]
+
+    directions, ray_dirs, cam_loc = get_ray_directions_and_cam_location(
+        uv, pose, intrinsics)
+
+    # ---- coarse pass (gradient-stopped; steers the fine sampler only) ------
+    z_coarse = samplers.uniform_z_vals(k_coarse, n_rays, statics.n_coarse,
+                                       near, far, perturb=statics.perturb)
+    pts_coarse = samplers.points_from_z(cam_loc, directions, z_coarse)
+
+    def _coarse(variables, pts_flat):
+        out = modules.vf_apply(variables, pts_flat, train=statics.train)
+        return out[:, :3]
+
+    normals_coarse = jax.lax.stop_gradient(
+        _coarse(variables, pts_coarse.reshape(-1, 3))
+    ).reshape(n_rays, statics.n_coarse, 3)
+    dirs_coarse = jnp.repeat(ray_dirs[:, None, :], statics.n_coarse, axis=1)
+    sigma_coarse = get_density(normals_coarse, dirs_coarse,
+                               jax.tree_util.tree_map(
+                                   jax.lax.stop_gradient, density_params),
+                               window_weights, statics, fine=False)
+    weights_coarse = jax.lax.stop_gradient(
+        _weights_from_density(z_coarse, sigma_coarse, statics))
+
+    # ---- fine pass (the trained path) --------------------------------------
+    if statics.n_fine > 0:
+        z_vals = samplers.range_fine_z_vals(
+            k_fine, z_coarse, weights_coarse, statics.n_fine,
+            fine_range=modules.cfg.ray_sampler_config.fine_range,
+            near=near, far=far, perturb=statics.perturb)
+    else:
+        z_vals = z_coarse
+
+    n_samples = statics.n_coarse + statics.n_fine
+    points = samplers.points_from_z(cam_loc, directions, z_vals)
+    points_flat = points.reshape(-1, 3)
+    dirs_rep = jnp.repeat(ray_dirs[:, None, :], n_samples, axis=1)
+    dirs_flat = dirs_rep.reshape(-1, 3)
+
+    vf_out = modules.vf_apply(variables, points_flat, train=statics.train)
+    feat_dim = modules.cfg.vf_net_config.feature_vector_dims
+    normals_flat = vf_out[:, :3]
+    feats_flat = vf_out[:, 3:3 + feat_dim]
+    normals = normals_flat.reshape(n_rays, n_samples, 3)
+
+    sigma = get_density(normals, dirs_rep, density_params, window_weights,
+                        statics, fine=True)
+    weights = _weights_from_density(z_vals, sigma, statics)
+
+    rgb_samples = modules.render_apply(variables, points_flat, normals_flat,
+                                       dirs_flat, feats_flat,
+                                       train=statics.train)
+    rgb_samples = rgb_samples.reshape(n_rays, n_samples, 3)
+    rgb, depth = compositing.composite_rgb_depth(
+        weights, rgb_samples, z_vals,
+        white_background=statics.white_background)
+
+    out: Dict[str, jnp.ndarray] = {
+        "rgb": rgb,
+        "depth": depth[:, None],
+        "normals": normals,
+        "points": points,
+        "z_vals": z_vals,
+        "weights": weights,
+        "sample_colors": rgb_samples,
+    }
+
+    if statics.compute_dir_derivatives:
+        def apply_fn(p):
+            return modules.vf_apply(variables, p, train=statics.train)
+
+        if statics.numerical_jacobian:
+            jac = numerical_vf_jacobian(apply_fn, points_flat)
+        else:
+            jac = vf_jacobian(apply_fn, points_flat)
+        dd = directional_derivatives(normals_flat, jac)
+        out["dir_derivative_norms"] = jnp.linalg.norm(
+            dd.reshape(-1, 3), axis=-1)
+    return out
+
+
+def render_vector_field(modules: VFNerfModules,
+                        variables: Dict[str, Any],
+                        points: jnp.ndarray,
+                        train: bool = False) -> jnp.ndarray:
+    """Evaluate the raw vector field at arbitrary points — the mesh-extraction
+    entry (reference ``get_vector_field``/``mc_utils.get_set_predictions``)."""
+    return modules.vf_apply(variables, points, train=train)[:, :3]

@@ -1,0 +1,163 @@
+"""The jitted training step (single-chip and data-parallel).
+
+Mirrors one iteration of the reference trainer
+(``train/vector_field_nerf_train.py:161-260``): render a mixed-view ray batch
+→ assemble border/centre VF supervision → VFLoss → grads → global-norm clip →
+Adam step → per-iteration LR decay. Everything is one pure jitted function of
+(TrainState, batch, key, epoch, window_weights) so XLA fuses the whole
+pipeline.
+
+Data parallelism (SURVEY.md §5.8): the same jitted function runs SPMD over a
+1-D device mesh — the batch is sharded on the ray axis, the state is
+replicated, and XLA inserts the gradient ``psum`` over ICI. Because JAX PRNG
+bits depend only on (key, shape), the sharded step computes bit-identical
+results to the single-device step (verified by
+``tests/test_parallel.py``).
+
+TPU-shaped supervision: the reference boolean-gathers border/centre ray
+samples (dynamic shapes); here masked (pred, gt, mask) triples keep shapes
+static — same loss value (see ``models/loss.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vf_nerf_tpu.config.schema import (VFLossConfig, VFLossWeights,
+                                       VFNerfConfig)
+from vf_nerf_tpu.models.loss import vf_loss
+from vf_nerf_tpu.models.nerf import TrainState
+from vf_nerf_tpu.models.renderer import (RenderStatics, VFNerfModules,
+                                         render_rays)
+from vf_nerf_tpu.ops import points as points_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class SupervisionStatics:
+    """Static supervision config (trainer ``:180-216``).
+
+    ``n_points`` is the shell-sample count — the reference uses
+    ``(rays * samples) // 10``; it is static here because shapes are.
+    """
+
+    init_method: str          # "center" or "exterior*" (dataset-provided)
+    border_supervision: bool
+    center_supervision: bool
+    border_radius: float
+    n_points: int
+
+    @staticmethod
+    def from_config(cfg: VFNerfConfig, init_method: str, n_rays: int,
+                    n_samples: int, border_radius: float
+                    ) -> "SupervisionStatics":
+        return SupervisionStatics(
+            init_method=init_method,
+            border_supervision=cfg.border_supervision,
+            center_supervision=cfg.center_supervision,
+            border_radius=border_radius,
+            n_points=max((n_rays * n_samples) // 10, 1))
+
+
+def _supervision_terms(modules: VFNerfModules,
+                       variables: Dict[str, Any],
+                       out: Dict[str, jnp.ndarray],
+                       key: jax.Array,
+                       far: jnp.ndarray,
+                       centroid: jnp.ndarray,
+                       sup: SupervisionStatics,
+                       train: bool):
+    """Border/centre supervision targets (trainer ``:180-216``)."""
+    terms = []
+    radius = sup.border_radius
+    k_border, k_center = jax.random.split(key)
+
+    def vf_normals(pts):
+        return modules.vf_apply(variables, pts, train=train)[:, :3]
+
+    if sup.init_method == "center":
+        # Ray samples near the border point inward (trainer :181-185)...
+        mask, gt = points_ops.border_mask_and_gt(out["points"], far, radius,
+                                                 centroid)
+        terms.append((out["normals"], gt, mask))
+        # ...plus shell samples in [far/2 - r, far/2] (trainer :186-193).
+        pts, gt_s = points_ops.sample_border_points(
+            k_border, far / 2.0 - radius, far / 2.0, sup.n_points, centroid)
+        terms.append((vf_normals(pts), gt_s, None))
+    else:
+        if sup.border_supervision:
+            # Shell samples in [far - 5r, far] point inward (trainer :197-204).
+            pts, gt_s = points_ops.sample_border_points(
+                k_border, far - 5.0 * radius, far, sup.n_points, centroid)
+            terms.append((vf_normals(pts), gt_s, None))
+        if sup.center_supervision:
+            # Ray samples near the centroid point outward (trainer :205-209)...
+            mask, gt = points_ops.center_mask_and_gt(out["points"], centroid,
+                                                     radius)
+            terms.append((out["normals"], gt, mask))
+            # ...plus ball samples around the centroid (trainer :210-216).
+            pts, gt_s = points_ops.sample_center_points(
+                k_center, centroid, radius, sup.n_points)
+            terms.append((vf_normals(pts), gt_s, None))
+    return terms
+
+
+def make_train_step(modules: VFNerfModules,
+                    optimizer: optax.GradientTransformation,
+                    statics: RenderStatics,
+                    sup: SupervisionStatics,
+                    loss_weights: VFLossWeights,
+                    loss_config: VFLossConfig
+                    ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step. Donates the state buffer (in-place update
+    on device; no HBM copy of the full state per step)."""
+
+    def step(state: TrainState,
+             batch: Dict[str, jnp.ndarray],
+             key: jax.Array,
+             epoch: jnp.ndarray,
+             window_weights: jnp.ndarray,
+             near: jnp.ndarray,
+             far: jnp.ndarray,
+             centroid: jnp.ndarray
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        k_render, k_sup = jax.random.split(key)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            out = render_rays(modules, variables, batch["uv"], batch["pose"],
+                              batch["intrinsics"], near, far, window_weights,
+                              k_render, statics)
+            terms = _supervision_terms(modules, variables, out, k_sup, far,
+                                       centroid, sup, statics.train)
+            predictions = {
+                "rgb": out["rgb"],
+                "depth": out["depth"],
+                "normals": out["normals"].reshape(-1, 3),
+            }
+            if "dir_derivative_norms" in out:
+                predictions["dir_derivative_norms"] = \
+                    out["dir_derivative_norms"]
+            ground_truth = {"rgb": batch["rgb"], "depth": batch.get("depth")}
+            total, parts = vf_loss(predictions, ground_truth, terms,
+                                   loss_weights, loss_config, epoch)
+            return total, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        metrics = dict(parts)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
