@@ -1,0 +1,124 @@
+"""Dataset layer tests: synthetic oracle scene + Replica loader round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vf_nerf_tpu.datasets.base import pixel_grid
+from vf_nerf_tpu.datasets.synthetic import (SyntheticBoxDataset, analytic_vf,
+                                            box_mesh, wall_color)
+
+
+class TestPixelGrid:
+    def test_matches_reference_mgrid_flip(self):
+        h, w = 5, 7
+        ref = np.flip(np.mgrid[0:h, 0:w].astype(np.int32), axis=0) \
+            .reshape(2, -1).T.astype(np.float32)
+        np.testing.assert_array_equal(pixel_grid(h, w), ref)
+
+
+class TestSynthetic:
+    def test_shapes_and_depth(self):
+        ds = SyntheticBoxDataset(n_images=4, image_size=(16, 24),
+                                 pixels_per_batch=128)
+        assert ds.rgb_images.shape == (4, 16 * 24, 3)
+        assert ds.depth_images.shape == (4, 16 * 24, 1)
+        assert ds.depth_images.min() > 0
+        near, far = ds.get_bounds()
+        assert near == 0.0 and far == pytest.approx(ds.max_depth * 1.25)
+
+    def test_mixed_batch(self):
+        ds = SyntheticBoxDataset(n_images=4, image_size=(16, 24),
+                                 pixels_per_batch=128)
+        rng = np.random.RandomState(0)
+        batches = list(ds.epoch_batches(rng))
+        assert len(batches) == 4
+        b = batches[0]
+        n = 4 * (128 // 4)
+        assert b["rgb"].shape == (n, 3)
+        assert b["uv"].shape == (n, 2)
+        assert b["pose"].shape == (n, 4, 4)
+        assert b["intrinsics"].shape == (n, 4, 4)
+        assert b["depth"].shape == (n, 1)
+
+    def test_whole_image_item(self):
+        ds = SyntheticBoxDataset(n_images=2, image_size=(8, 12),
+                                 pixels_per_batch=32)
+        ds.all_pixels = True
+        item = ds[1]
+        assert item["rgb"].shape == (96, 3)
+        np.testing.assert_array_equal(item["rgb"], ds.rgb_images[1])
+
+    def test_depth_consistency_with_rays(self):
+        """GT depth must satisfy: cam + depth * dir lies on the cube."""
+        import jax.numpy as jnp
+
+        from vf_nerf_tpu.ops.rays import get_ray_directions_and_cam_location
+        ds = SyntheticBoxDataset(n_images=2, image_size=(8, 12),
+                                 pixels_per_batch=32)
+        ds.all_pixels = True
+        item = ds[0]
+        dirs, _, cam = get_ray_directions_and_cam_location(
+            jnp.asarray(item["uv"]), jnp.asarray(item["pose"]),
+            jnp.asarray(item["intrinsics"]))
+        pts = np.asarray(cam) + item["depth"] * np.asarray(dirs)
+        dist_to_surface = np.abs(np.abs(pts).max(axis=1) - ds.half_size)
+        assert dist_to_surface.max() < 1e-3
+
+    def test_analytic_vf_unit_and_outward(self):
+        pts = np.array([[0.5, 0.0, 0.0], [-0.1, -1.8, 0.2], [0, 0, 1.9]])
+        v = analytic_vf(pts, 2.0)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0)
+        np.testing.assert_array_equal(v[0], [1, 0, 0])
+        np.testing.assert_array_equal(v[1], [0, -1, 0])
+        np.testing.assert_array_equal(v[2], [0, 0, 1])
+
+    def test_wall_color_range(self):
+        c = wall_color(np.random.RandomState(0).uniform(-2, 2, (100, 3)))
+        assert c.min() >= 0.0 and c.max() <= 1.0
+
+
+class TestReplicaRoundTrip:
+    def test_export_and_load(self, tmp_path):
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.datasets.replica import ReplicaDataset
+
+        ds = SyntheticBoxDataset(n_images=3, image_size=(16, 24),
+                                 pixels_per_batch=96)
+        root = str(tmp_path)
+        ds.export_replica_format(root, scene="boxroom")
+
+        cfg = DatasetConfig(dataset_name="replica", data_dir="Replica",
+                            shuffle_views=True, pixels_per_batch=96,
+                            scene="boxroom", data_root_dir=root, factor=1)
+        loaded = ReplicaDataset(cfg)
+        assert loaded.n_images == 3
+        assert loaded.image_size == (16, 24)
+        # Poses survive the text round-trip exactly.
+        np.testing.assert_allclose(loaded.poses, ds.poses, atol=1e-6)
+        # Depth survives the uint16 quantization (scale 1000 → ~0.5mm).
+        np.testing.assert_allclose(loaded.depth_images, ds.depth_images,
+                                   atol=2e-3)
+        # RGB survives JPEG at q=98 loosely.
+        assert np.abs(loaded.rgb_images - ds.rgb_images).mean() < 0.02
+        # Centroid of the symmetric cube is ~0; scale = bounds·1.1.
+        np.testing.assert_allclose(loaded.get_centroid(), 0.0, atol=1e-5)
+        assert loaded.scale == pytest.approx(ds.half_size * 1.1, rel=1e-5)
+        # Bounds: (0, 1.25 · max depth).
+        assert loaded.get_bounds()[1] == pytest.approx(
+            ds.max_depth * 1.25, rel=1e-3)
+        # VF init contract (replica_dataset.py:221-226).
+        method, path = loaded.get_vf_init_method()
+        assert method == "exterior_boxroom"
+        assert path.endswith("boxroom.pth")
+
+    def test_ply_roundtrip(self, tmp_path):
+        from vf_nerf_tpu.utils.ply import load_ply, save_ply
+        verts, faces = box_mesh(1.5)
+        for binary in (True, False):
+            p = os.path.join(str(tmp_path), f"m_{binary}.ply")
+            save_ply(p, verts, faces, binary=binary)
+            v2, f2 = load_ply(p)
+            np.testing.assert_allclose(v2, verts)
+            np.testing.assert_array_equal(f2, faces)

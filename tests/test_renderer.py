@@ -1,0 +1,205 @@
+"""Renderer tests: shapes, determinism, coarse-only path, density glue parity."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vf_nerf_tpu.config.schema import (DensityConfig, DeviceConfig,
+                                       RaySamplerConfig, RenderingNetConfig,
+                                       SchedulerConfig, VFNerfConfig,
+                                       VFNetConfig)
+from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+from vf_nerf_tpu.models.renderer import (RenderStatics, VFNerfModules,
+                                         get_density, render_rays)
+from vf_nerf_tpu.ops.density import init_density_params
+
+
+def tiny_config(n_samples=20, n_importance=6, perturb=True,
+                batch_norm=True) -> VFNerfConfig:
+    return VFNerfConfig(
+        vf_net_config=VFNetConfig(
+            input_dims=3, output_dims=3, dimensions=[32, 32, 32],
+            feature_vector_dims=16, embedder_multires=4, weight_norm=False,
+            batch_norm=batch_norm, skip_connection_in=[2], bias_init=0.0,
+            dropout=False, dropout_probability=0.0, xavier_init=False,
+            init=""),
+        rendering_net_config=RenderingNetConfig(
+            output_dims=3, dimensions=[32, 32], feature_vector_dims=16,
+            weight_norm=False, batch_norm=batch_norm, mode="idr",
+            embedder_multires=2, detach_normals=True),
+        ray_sampler_config=RaySamplerConfig(
+            n_samples=n_samples, n_importance=n_importance,
+            rays_per_batch=64, perturb=perturb, near=0.0, far=4.0,
+            fine_range=0.3, increase_every=50, max_samples=40),
+        device_config=DeviceConfig(),
+        scheduler_config=SchedulerConfig(lr=5e-4, lr_decay_factor=0.1,
+                                         lr_decay_steps=1000, clip_norm=0.5),
+        density_config=DensityConfig(
+            beta_bounds=[1e-4, 1e9], mean_bounds=[0.6, 1.0], scale_min=1.0,
+            params_init={"beta": 0.5, "mean": 0.7, "scale": 100.0},
+            cutoff=-2.0),
+        cos_sim_weights=tuple([0.09] * 11),
+        cos_sim_weights_anneal="hard",
+        anneal_start=700, anneal_end=1400,
+        rendering="volsdf", normalize_rendering=True,
+        dir_to_normal_th=-2.0)
+
+
+def make_batch(n_rays=32):
+    ds = SyntheticBoxDataset(n_images=2, image_size=(8, 12),
+                             pixels_per_batch=n_rays)
+    batch = next(ds.epoch_batches(np.random.RandomState(0)))
+    return ds, {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    modules = VFNerfModules(cfg)
+    variables = modules.init_variables(jax.random.PRNGKey(0))
+    ds, batch = make_batch()
+    return cfg, modules, variables, ds, batch
+
+
+def _render(cfg, modules, variables, batch, ds, n_fine, perturb=True,
+            key=0, **kw):
+    statics = RenderStatics.from_config(
+        dataclasses.replace(
+            cfg, ray_sampler_config=dataclasses.replace(
+                cfg.ray_sampler_config, perturb=perturb)),
+        n_fine=n_fine, train=False, **kw)
+    near, far = ds.get_bounds()
+    weights = jnp.asarray(cfg.cos_sim_weights)
+    return render_rays(modules, variables, batch["uv"], batch["pose"],
+                       batch["intrinsics"], jnp.float32(near),
+                       jnp.float32(far), weights, jax.random.PRNGKey(key),
+                       statics)
+
+
+class TestRenderRays:
+    def test_shapes_with_fine(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        out = _render(cfg, modules, variables, batch, ds, n_fine=6)
+        n_rays = batch["uv"].shape[0]
+        s = 20 + 6
+        assert out["rgb"].shape == (n_rays, 3)
+        assert out["depth"].shape == (n_rays, 1)
+        assert out["normals"].shape == (n_rays, s, 3)
+        assert out["points"].shape == (n_rays, s, 3)
+        assert out["z_vals"].shape == (n_rays, s)
+        assert out["weights"].shape == (n_rays, s)
+        assert out["sample_colors"].shape == (n_rays, s, 3)
+        for v in out.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+        rgb = np.asarray(out["rgb"])
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+    def test_coarse_only_path(self, setup):
+        """The reference raises NameError with n_importance == 0
+        (SURVEY.md §3.2); ours must work."""
+        cfg, modules, variables, ds, batch = setup
+        out = _render(cfg, modules, variables, batch, ds, n_fine=0)
+        assert out["rgb"].shape == (batch["uv"].shape[0], 3)
+        assert out["z_vals"].shape == (batch["uv"].shape[0], 20)
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+    def test_deterministic_given_key(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        a = _render(cfg, modules, variables, batch, ds, n_fine=6, key=1)
+        b = _render(cfg, modules, variables, batch, ds, n_fine=6, key=1)
+        np.testing.assert_array_equal(np.asarray(a["rgb"]),
+                                      np.asarray(b["rgb"]))
+
+    def test_no_perturb_key_independent(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        a = _render(cfg, modules, variables, batch, ds, n_fine=0,
+                    perturb=False, key=1)
+        b = _render(cfg, modules, variables, batch, ds, n_fine=0,
+                    perturb=False, key=2)
+        np.testing.assert_array_equal(np.asarray(a["rgb"]),
+                                      np.asarray(b["rgb"]))
+
+    def test_z_vals_sorted_in_bounds(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        out = _render(cfg, modules, variables, batch, ds, n_fine=6)
+        z = np.asarray(out["z_vals"])
+        assert np.all(np.diff(z, axis=1) >= 0)
+        near, far = ds.get_bounds()
+        # fine window can exceed [near, far] by fine_range (argmax at edges)
+        assert z.min() >= near - cfg.ray_sampler_config.fine_range - 1e-5
+        assert z.max() <= far + cfg.ray_sampler_config.fine_range + 1e-5
+
+    def test_dir_derivatives_path(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        out = _render(cfg, modules, variables, batch, ds, n_fine=4,
+                      compute_dir_derivatives=True)
+        n = batch["uv"].shape[0] * 24 * 2
+        assert out["dir_derivative_norms"].shape == (n,)
+        assert np.all(np.isfinite(np.asarray(out["dir_derivative_norms"])))
+
+    def test_nerf_rendering_mode(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        cfg2 = dataclasses.replace(cfg, rendering="nerf")
+        out = _render(cfg2, modules, variables, batch, ds, n_fine=6)
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+class TestGetDensity:
+    """Oracle for the VF→σ glue (reference vector_field_nerf.py:442-474)."""
+
+    def _numpy_oracle(self, normals, ray_dirs, weights, th, cutoff,
+                      params, bounds):
+        import models.helpers.functions as ref_functions
+        import torch
+        from models.helpers.density_functions import LaplaceDensity
+        n_taps = len(weights)
+        uniform = torch.full((n_taps,), 1.0 / n_taps)
+        cos = ref_functions.window_cosine_similarity(
+            torch.from_numpy(normals[:, :-1].copy()),
+            torch.from_numpy(normals[:, 1:].copy()), uniform).numpy()
+        import torch.nn.functional as F
+        cos_ray = F.cosine_similarity(
+            torch.from_numpy(normals[:, :-1]),
+            torch.from_numpy(ray_dirs[:, :-1]), dim=2).numpy()
+        ref_density = LaplaceDensity(
+            params_init=params, beta_bounds=tuple(bounds["beta"]),
+            scale_min=bounds["scale_min"], mean_bounds=tuple(bounds["mean"]))
+        with torch.no_grad():
+            sigma = ref_density.density_func(
+                torch.from_numpy(-cos.reshape(-1, 1)),
+                cutoff=cutoff).numpy().reshape(cos.shape)
+        sigma[(cos_ray < th) & (cos < 0)] = 0.0
+        return np.concatenate(
+            [sigma, np.zeros((sigma.shape[0], 1), np.float32)], axis=1)
+
+    def test_parity_with_reference_math(self, setup):
+        from reference_oracle import (add_reference_to_path,
+                                      reference_available)
+        if not reference_available():
+            pytest.skip("reference not mounted")
+        add_reference_to_path()
+
+        cfg, _, _, _, _ = setup
+        rng = np.random.RandomState(0)
+        normals = rng.randn(4, 26, 3).astype(np.float32)
+        ray_dirs = rng.randn(4, 26, 3).astype(np.float32)
+        params = {"beta": 0.5, "mean": 0.7, "scale": 100.0}
+
+        statics = RenderStatics.from_config(cfg, n_fine=6, train=False)
+        # use a tighter threshold so the suppression branch activates
+        statics = dataclasses.replace(statics, dir_to_normal_th=-0.2)
+        ours = get_density(jnp.asarray(normals), jnp.asarray(ray_dirs),
+                           init_density_params(params),
+                           jnp.asarray(cfg.cos_sim_weights), statics,
+                           fine=True)
+        oracle = self._numpy_oracle(
+            normals, ray_dirs, cfg.cos_sim_weights, -0.2, cfg.density_config.cutoff,
+            params, {"beta": cfg.density_config.beta_bounds,
+                     "scale_min": cfg.density_config.scale_min,
+                     "mean": cfg.density_config.mean_bounds})
+        np.testing.assert_allclose(np.asarray(ours), oracle, rtol=1e-4,
+                                   atol=1e-3)

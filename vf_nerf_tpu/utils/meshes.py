@@ -1,0 +1,136 @@
+"""Mesh utilities (replaces the reference's trimesh usage).
+
+- area-weighted centroid + bounds (trimesh semantics; the reference reads
+  ``mesh.centroid``/``mesh.bounds`` of the GT scene mesh,
+  ``replica_dataset.py:83-86``),
+- mesh concatenation (quadrant MC merge, ``evaluation/methods.py:126-137``),
+- Laplacian smoothing (``methods.py:686-691`` uses trimesh's
+  ``filter_laplacian``; same uniform-weight update here),
+- surface point sampling + Chamfer distance via scipy cKDTree
+  (``utils/utils.py:327-367``),
+- precision/recall/F-score at a distance threshold (in-repo replacement for
+  the external ``evaluate_3d_reconstruction`` dep, SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+def face_areas_and_centroids(vertices: np.ndarray, faces: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    tri = vertices[faces]  # (F, 3, 3)
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    areas = 0.5 * np.linalg.norm(cross, axis=1)
+    centroids = tri.mean(axis=1)
+    return areas, centroids
+
+
+def mesh_centroid(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted triangle-centroid mean (trimesh ``centroid`` semantics);
+    falls back to the vertex mean for point clouds."""
+    if len(faces) == 0:
+        return vertices.mean(axis=0)
+    areas, centroids = face_areas_and_centroids(vertices, faces)
+    total = areas.sum()
+    if total <= 0:
+        return vertices.mean(axis=0)
+    return (centroids * areas[:, None]).sum(axis=0) / total
+
+
+def mesh_bounds(vertices: np.ndarray) -> np.ndarray:
+    """(2, 3) [min; max] corner bounds (trimesh ``bounds``)."""
+    return np.stack([vertices.min(axis=0), vertices.max(axis=0)])
+
+
+def concatenate_meshes(meshes) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate (vertices, faces) pairs with index offsetting."""
+    all_v, all_f = [], []
+    offset = 0
+    for v, f in meshes:
+        all_v.append(v)
+        if len(f):
+            all_f.append(f + offset)
+        offset += len(v)
+    v = np.concatenate(all_v) if all_v else np.zeros((0, 3), np.float32)
+    f = np.concatenate(all_f) if all_f else np.zeros((0, 3), np.int32)
+    return v, f
+
+
+def vertex_adjacency(n_vertices: int, faces: np.ndarray):
+    """CSR-style neighbor lists for Laplacian smoothing."""
+    import scipy.sparse as sp
+    if len(faces) == 0:
+        return sp.csr_matrix((n_vertices, n_vertices))
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    rows = np.concatenate([edges[:, 0], edges[:, 1]])
+    cols = np.concatenate([edges[:, 1], edges[:, 0]])
+    data = np.ones(len(rows), np.float32)
+    adj = sp.csr_matrix((data, (rows, cols)),
+                        shape=(n_vertices, n_vertices))
+    adj.data[:] = 1.0  # dedupe multi-edges
+    return adj
+
+
+def laplacian_smooth(vertices: np.ndarray, faces: np.ndarray,
+                     iterations: int = 10, lamb: float = 0.5) -> np.ndarray:
+    """Uniform-weight Laplacian smoothing (reference uses trimesh
+    ``filter_laplacian`` with 10 iterations, ``methods.py:686-691``)."""
+    adj = vertex_adjacency(len(vertices), faces)
+    degree = np.asarray(adj.sum(axis=1)).reshape(-1)
+    degree = np.maximum(degree, 1.0)
+    v = vertices.astype(np.float64).copy()
+    for _ in range(iterations):
+        mean_neighbor = adj @ v / degree[:, None]
+        v = v + lamb * (mean_neighbor - v)
+    return v.astype(np.float32)
+
+
+def sample_surface(vertices: np.ndarray, faces: np.ndarray, n: int,
+                   seed: int = 0) -> np.ndarray:
+    """Uniform area-weighted surface samples (for Chamfer / P-R-F)."""
+    if len(faces) == 0:
+        idx = np.random.RandomState(seed).randint(0, len(vertices), n)
+        return vertices[idx]
+    areas, _ = face_areas_and_centroids(vertices, faces)
+    probs = areas / max(areas.sum(), 1e-12)
+    rng = np.random.RandomState(seed)
+    face_idx = rng.choice(len(faces), size=n, p=probs)
+    tri = vertices[faces[face_idx]]
+    u, v = rng.rand(n, 1), rng.rand(n, 1)
+    flip = (u + v) > 1
+    u = np.where(flip, 1 - u, u)
+    v = np.where(flip, 1 - v, v)
+    return (tri[:, 0] + u * (tri[:, 1] - tri[:, 0])
+            + v * (tri[:, 2] - tri[:, 0])).astype(np.float32)
+
+
+def chamfer_distance(points_a: np.ndarray, points_b: np.ndarray
+                     ) -> Tuple[float, float, float]:
+    """(mean a→b, mean b→a, symmetric mean) nearest-neighbor distances
+    (reference ``utils/utils.py:327-367`` KD-tree Chamfer)."""
+    d_ab = cKDTree(points_b).query(points_a, k=1)[0]
+    d_ba = cKDTree(points_a).query(points_b, k=1)[0]
+    return float(d_ab.mean()), float(d_ba.mean()), \
+        float((d_ab.mean() + d_ba.mean()) / 2)
+
+
+def precision_recall_fscore(pred_points: np.ndarray,
+                            gt_points: np.ndarray,
+                            threshold: float = 0.05) -> dict:
+    """P/R/F-score at a distance threshold (in-repo replacement for the
+    external ``evaluate_3d_reconstruction`` library,
+    reference ``methods.py:722-730``)."""
+    d_pred_to_gt = cKDTree(gt_points).query(pred_points, k=1)[0]
+    d_gt_to_pred = cKDTree(pred_points).query(gt_points, k=1)[0]
+    precision = float((d_pred_to_gt < threshold).mean())
+    recall = float((d_gt_to_pred < threshold).mean())
+    fscore = (2 * precision * recall / (precision + recall)
+              if precision + recall > 0 else 0.0)
+    return {"precision": precision, "recall": recall, "fscore": fscore,
+            "accuracy": float(d_pred_to_gt.mean()),
+            "completeness": float(d_gt_to_pred.mean())}
