@@ -1,0 +1,111 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh (SURVEY.md §4.4):
+sharded-vs-single-device equality (the psum correctness check) and
+checkpoint round-trip across topology change."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_renderer import make_batch, tiny_config
+from test_train_step import LOSS_CONFIG, LOSS_WEIGHTS
+from vf_nerf_tpu.models.nerf import TrainState, make_optimizer
+from vf_nerf_tpu.models.renderer import RenderStatics, VFNerfModules
+from vf_nerf_tpu.parallel import mesh as mesh_lib
+from vf_nerf_tpu.parallel.train_step import (SupervisionStatics,
+                                             make_train_step)
+
+
+def build_step(n_rays):
+    cfg = tiny_config()
+    modules = VFNerfModules(cfg)
+    variables = modules.init_variables(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(cfg.scheduler_config, decay_steps=1000)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=optimizer.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    statics = RenderStatics.from_config(cfg, n_fine=6, train=False)
+    sup = SupervisionStatics.from_config(
+        cfg, "exterior_synthetic", n_rays=n_rays,
+        n_samples=statics.n_coarse + statics.n_fine, border_radius=0.15)
+    step = make_train_step(modules, optimizer, statics, sup, LOSS_WEIGHTS,
+                           LOSS_CONFIG)
+    return cfg, state, step
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedStep:
+    def test_sharded_equals_single_device(self):
+        n_rays = 64
+        cfg, state, step = build_step(n_rays)
+        ds, batch = make_batch(n_rays)
+        near, far = ds.get_bounds()
+        common = dict(window_weights=jnp.asarray(cfg.cos_sim_weights),
+                      near=jnp.float32(near), far=jnp.float32(far),
+                      centroid=jnp.zeros(3))
+        key = jax.random.PRNGKey(7)
+        epoch = jnp.asarray(3, jnp.int32)
+
+        # Single device.
+        state_a, metrics_a = step(jax.tree_util.tree_map(jnp.copy, state),
+                                  batch, key, epoch, **common)
+
+        # 8-device mesh: state replicated, batch ray-sharded.
+        mesh = mesh_lib.make_mesh(8)
+        state_b = mesh_lib.replicate_state(
+            mesh, jax.tree_util.tree_map(jnp.copy, state))
+        batch_b = mesh_lib.shard_batch(mesh, batch)
+        state_b, metrics_b = step(state_b, batch_b, key, epoch, **common)
+
+        assert float(metrics_a["loss"]) == pytest.approx(
+            float(metrics_b["loss"]), rel=1e-5)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state_a.params, state_b.params)
+        max_diff = max(jax.tree_util.tree_leaves(diffs))
+        assert max_diff < 1e-5
+
+    def test_multi_step_convergence_sharded(self):
+        n_rays = 64
+        cfg, state, step = build_step(n_rays)
+        ds, batch = make_batch(n_rays)
+        near, far = ds.get_bounds()
+        common = dict(window_weights=jnp.asarray(cfg.cos_sim_weights),
+                      near=jnp.float32(near), far=jnp.float32(far),
+                      centroid=jnp.zeros(3))
+        mesh = mesh_lib.make_mesh(8)
+        state = mesh_lib.replicate_state(mesh, state)
+        batch = mesh_lib.shard_batch(mesh, batch)
+        losses = []
+        key = jax.random.PRNGKey(0)
+        for i in range(20):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub,
+                                  jnp.asarray(i, jnp.int32), **common)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
+class TestCheckpointTopologyChange:
+    def test_roundtrip(self, tmp_path):
+        from vf_nerf_tpu.utils import checkpoint as ckpt_io
+        cfg, state, step = build_step(32)
+        # Save from a replicated (mesh) state, restore onto plain devices.
+        mesh = mesh_lib.make_mesh(4)
+        state_r = mesh_lib.replicate_state(mesh, state)
+        path = ckpt_io.save_checkpoint(str(tmp_path), 5,
+                                       {"params": state_r.params,
+                                        "step": state_r.step, "epoch": 5})
+        template = {"params": state.params, "step": state.step, "epoch": 0}
+        restored = ckpt_io.load_checkpoint(path, template)
+        assert restored["epoch"] == 5
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) -
+                                             np.asarray(b)))),
+            restored["params"], state.params)
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0

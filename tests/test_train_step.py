@@ -1,0 +1,115 @@
+"""Train-step tests: loss decreases on the synthetic scene, gradients flow
+everywhere, epoch gates behave."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_renderer import make_batch, tiny_config
+from vf_nerf_tpu.config.schema import VFLossConfig, VFLossWeights
+from vf_nerf_tpu.models.nerf import TrainState, make_optimizer
+from vf_nerf_tpu.models.renderer import RenderStatics, VFNerfModules
+from vf_nerf_tpu.parallel.train_step import (SupervisionStatics,
+                                             make_train_step)
+
+LOSS_WEIGHTS = VFLossWeights(rgb=2.0, depth=0.5, unit_norm=0.1,
+                             supervision=1.0, norm_smaller_than_one=0.1,
+                             directional_derivatives=0.0)
+LOSS_CONFIG = VFLossConfig(norm_smaller_than_one_start=11000,
+                           depth_loss_clamp=0.5,
+                           directional_derivatives_start=100)
+
+
+def build(n_rays=32, n_fine=6, init_method="exterior_synthetic"):
+    cfg = tiny_config()
+    modules = VFNerfModules(cfg)
+    variables = modules.init_variables(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(cfg.scheduler_config, decay_steps=1000)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=optimizer.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    ds, batch = make_batch(n_rays)
+    statics = RenderStatics.from_config(cfg, n_fine=n_fine, train=False)
+    sup = SupervisionStatics.from_config(
+        cfg, init_method, n_rays=n_rays,
+        n_samples=statics.n_coarse + statics.n_fine, border_radius=0.15)
+    step = make_train_step(modules, optimizer, statics, sup, LOSS_WEIGHTS,
+                           LOSS_CONFIG)
+    near, far = ds.get_bounds()
+    args = dict(window_weights=jnp.asarray(cfg.cos_sim_weights),
+                near=jnp.float32(near), far=jnp.float32(far),
+                centroid=jnp.zeros(3))
+    return cfg, modules, state, step, ds, batch, args
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg, modules, state, step, ds, batch, args = build()
+        rng = np.random.RandomState(0)
+        losses, rgb_losses = [], []
+        key = jax.random.PRNGKey(1)
+        for i in range(100):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub,
+                                  jnp.asarray(i, jnp.int32), **args)
+            losses.append(float(metrics["loss"]))
+            rgb_losses.append(float(metrics["rgb_loss"]))
+        assert np.isfinite(losses).all()
+        # training on a fixed batch must fit it
+        assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5])
+        assert np.mean(rgb_losses[-5:]) < np.mean(rgb_losses[:5])
+        assert int(state.step) == 100
+
+    def test_metrics_keys_match_reference(self):
+        """Per-term scalar names mirror the reference losses dict
+        (models/losses/vf_loss.py:80-87)."""
+        _, _, state, step, _, batch, args = build()
+        state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                              jnp.asarray(0, jnp.int32), **args)
+        assert set(metrics) == {
+            "loss", "rgb_loss", "depth_loss", "unit_norm_loss",
+            "supervision_loss", "norm_smaller_than_one_loss",
+            "directional_derivatives_loss"}
+
+    def test_center_init_supervision_path(self):
+        _, _, state, step, _, batch, args = build(init_method="center")
+        state, metrics = step(state, batch, jax.random.PRNGKey(0),
+                              jnp.asarray(0, jnp.int32), **args)
+        assert np.isfinite(float(metrics["supervision_loss"]))
+        assert float(metrics["supervision_loss"]) > 0
+
+    def test_epoch_gates(self):
+        _, _, state, step, _, batch, args = build()
+        _, m_early = step(state, batch, jax.random.PRNGKey(0),
+                          jnp.asarray(0, jnp.int32), **args)
+        # norm hinge gated until epoch 11000 (conf:79)
+        assert float(m_early["norm_smaller_than_one_loss"]) == 0.0
+        # Gate semantics at the loss level: crafted over-unit normals.
+        from vf_nerf_tpu.models.loss import vf_loss
+        preds = {"rgb": jnp.zeros((4, 3)), "depth": jnp.zeros((4, 1)),
+                 "normals": jnp.full((4, 3), 0.9)}
+        gts = {"rgb": jnp.zeros((4, 3)), "depth": jnp.zeros((4, 1))}
+        _, early = vf_loss(preds, gts, [], LOSS_WEIGHTS, LOSS_CONFIG,
+                           jnp.asarray(0))
+        _, late = vf_loss(preds, gts, [], LOSS_WEIGHTS, LOSS_CONFIG,
+                          jnp.asarray(11000))
+        assert float(early["norm_smaller_than_one_loss"]) == 0.0
+        expected = (np.linalg.norm([0.9] * 3) - 1.0) ** 2
+        assert float(late["norm_smaller_than_one_loss"]) == pytest.approx(
+            expected, rel=1e-5)
+
+    def test_density_params_receive_gradients(self):
+        _, _, state, step, _, batch, args = build()
+        before = jax.tree_util.tree_map(np.asarray, state.params["density"])
+        for i in range(3):
+            state, _ = step(state, batch, jax.random.PRNGKey(i),
+                            jnp.asarray(i, jnp.int32), **args)
+        after = jax.tree_util.tree_map(np.asarray, state.params["density"])
+        assert not np.allclose(before.beta, after.beta) or \
+            not np.allclose(before.mean, after.mean) or \
+            not np.allclose(before.scale, after.scale)
