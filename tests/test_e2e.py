@@ -1,0 +1,159 @@
+"""End-to-end slice (SURVEY.md §7.3): synthetic scene exported in Replica
+format → config parse → runner.train() → checkpoint layout → resume →
+render-images eval → metrics.json. Tiny nets/epochs keep this CPU-fast."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_CONF = """
+density {
+    params_init { beta = 0.5, scale = 100.0, mean = 0.7, }
+    beta_bounds = [1e-4, 1e9],
+    mean_bounds = [0.6, 1.0]
+    scale_min = 1.0
+    cutoff = -2.0
+}
+vector_field_network {
+    input_dims = 3, output_dims = 3,
+    dimensions = [32, 32, 32],
+    feature_vector_dims = 16, embedder_multires = 4,
+    weight_norm = False, batch_norm = True,
+    skip_connection_in = [2], bias_init = 0.0,
+    dropout = False, dropout_probability = 0.2, xavier_init = False,
+}
+rendering {
+    output_dims = 3, dimensions = [32, 32], feature_vector_dims = 16,
+    weight_norm = False, batch_norm = True, mode = "idr",
+    embedder_multires = 2, detach_normals = True,
+}
+ray_sampler {
+    n_samples = 16
+    n_importance = 4
+    rays_per_batch = 96
+    perturb = True
+    near = 0.0
+    far = 1.0
+    fine_range = 0.3
+    increase_every = 50
+    max_samples = 16
+}
+scheduler { lr = 5e-3, lr_decay_factor = 0.1, clip_norm = 0.5, weight_decay = 0.0 }
+vf_nerf {
+    dir_to_normal_th = -2
+    rendering = "volsdf"
+    cos_sim_weights = [0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09, 0.09],
+    cos_sim_weights_anneal = "hard",
+    normalize_rendering = True,
+    anneal_start = 700
+    anneal_end = 1400
+    numerical_jacobian = False
+    border_supervision = True
+    center_supervision = True
+}
+loss {
+    config {
+        norm_smaller_than_one_start = 11000
+        depth_loss_clamp = 0.5
+        directional_derivatives_start = 100
+    }
+    weights {
+        rgb = 2.0, depth = 0.5, unit_norm = 0.1, supervision = 1.0,
+        norm_smaller_than_one = 0.1
+        directional_derivatives = 0.00
+    }
+}
+dataset {
+    dataset_name = "replica"
+    data_dir = "Replica"
+    shuffle_views = True
+    pixels_per_batch = 96
+    random_img_sampling = False
+    border_radius = 0.15
+    factor = 1
+}
+train {
+    num_epochs = 3
+    save_frequency = 2
+    wandb_frequency = 1
+    wandb_project = "vf_nerf"
+    exps_folder = "EXPS_PLACEHOLDER"
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+    root = str(tmp_path_factory.mktemp("e2e"))
+    ds = SyntheticBoxDataset(n_images=3, image_size=(12, 16),
+                             pixels_per_batch=96)
+    ds.export_replica_format(root, scene="boxroom")
+    conf_path = os.path.join(root, "tiny.conf")
+    exps = os.path.join(root, "exps_vf_nerf")
+    with open(conf_path, "w") as f:
+        f.write(TINY_CONF.replace("EXPS_PLACEHOLDER", exps))
+    return root, conf_path, exps
+
+
+class TestEndToEnd:
+    def test_train_checkpoint_resume_eval(self, workspace):
+        root, conf_path, exps = workspace
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.evaluation.evaluate import evaluate
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+        config = parse_config(scene="boxroom", config_path=conf_path,
+                              expname="synth", timestamp="test_run",
+                              data_root_dir=root, offline=True)
+        assert config.expname == "synth_boxroom"
+
+        runner = VectorFieldNerfRunner(config)
+        runner.train()
+
+        # Folder/checkpoint layout parity (reference trainer :79-113,151-157).
+        run_dir = os.path.join(exps, "synth_boxroom", "test_run")
+        ckpt_dir = os.path.join(run_dir, "checkpoints", "vf_nerf")
+        assert os.path.exists(os.path.join(run_dir, "vf_nerf.conf"))
+        assert os.path.exists(os.path.join(ckpt_dir, "0.ckpt"))
+        assert os.path.exists(os.path.join(ckpt_dir, "2.ckpt"))
+        assert os.path.exists(os.path.join(ckpt_dir, "latest.ckpt"))
+        assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            lines = [json.loads(l) for l in f]
+        metric_lines = [l for l in lines if l.get("_type") == "metrics"]
+        assert len(metric_lines) == 3
+        # Logged scalar set parity (reference trainer :284-291).
+        for key in ("loss", "rgb_loss", "depth_loss", "beta", "mean",
+                    "scale", "learning_rate", "w_0", "w_10"):
+            assert key in metric_lines[-1]
+
+        # Resume path (reference :115-134).
+        config2 = parse_config(scene="boxroom", config_path=conf_path,
+                               expname="synth", timestamp="test_run",
+                               checkpoint="latest", data_root_dir=root,
+                               offline=True)
+        runner2 = VectorFieldNerfRunner(config2)
+        assert config2.start_epoch >= 3
+
+        # Eval: render-images + metrics (reference evaluate.py:135-140).
+        evaluate(config2, method="render-images", resolution=32,
+                 eval_root_folder=os.path.join(root, "evals"),
+                 chunk_size=64, distance_thresh=0.05, num_quadrants=8)
+        evaluate(config2, method="metrics", resolution=32,
+                 eval_root_folder=os.path.join(root, "evals"),
+                 chunk_size=64, distance_thresh=0.05, num_quadrants=8)
+
+        eval_dir = os.path.join(root, "evals", "synth_boxroom",
+                                "test_run_latest")
+        assert os.path.exists(os.path.join(eval_dir, "rendered_images",
+                                           "image-0.png"))
+        assert os.path.exists(os.path.join(eval_dir, "rendered_images",
+                                           "depth-0.npy"))
+        with open(os.path.join(eval_dir, "metrics.json")) as f:
+            m = json.load(f)
+        assert "mean_psnr" in m and "image-0" in m
+        # 3 epochs of a tiny net: just above the random floor (~6-8 dB).
+        assert m["mean_psnr"] > 8.0

@@ -1,0 +1,280 @@
+"""Evaluation methods: image rendering, 2D metrics, mesh extraction drivers,
+TSDF fusion, 3D metrics.
+
+Reference: ``evaluation/methods.py``. Artifact layout kept identical:
+
+- ``<eval>/rendered_images/image-{i}.png`` + ``depth-{i}.npy`` / ``.png``,
+- ``<eval>/metrics.json`` (per-image psnr + ``mean_psnr``),
+- ``<eval>/mesh*/...ply`` marching-cubes meshes (plain/smoothed variants),
+- ``<eval>/merged-mesh*/merged-mesh-{ckpt}.ply`` quadrant MC merges,
+- ``<eval>/tsdf-mesh/tsdf.ply``,
+- ``<eval>/3d-metrics.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vf_nerf_tpu.config.schema import DatasetConfig
+from vf_nerf_tpu.datasets import dataset_dict
+from vf_nerf_tpu.models.nerf import VectorFieldNerf
+from vf_nerf_tpu.utils import io as io_utils
+from vf_nerf_tpu.utils import metrics as metric_utils
+
+
+def render_images(model: VectorFieldNerf,
+                  eval_path: str,
+                  dataset_config: DatasetConfig,
+                  epoch: int,
+                  split_size: int = 512) -> None:
+    """Render every training view in ray chunks and save rgb + depth
+    (reference ``methods.py:473-547``).
+
+    TPU-shaped: all whole-image chunks share one jitted render (static chunk
+    shape); the tail chunk is padded to the static size and cropped back.
+    """
+    dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
+    dataset.all_pixels = True
+    model.near, model.far = dataset.get_bounds()
+
+    path = os.path.join(eval_path, "rendered_images")
+    io_utils.mkdir_ifnotexists(path)
+
+    h, w = dataset.image_size
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        n_pixels = batch["uv"].shape[0]
+        rgb_img = np.zeros((h, w, 3), np.float32)
+        depth_img = np.zeros((h, w, 1), np.float32)
+
+        for start in range(0, n_pixels, split_size):
+            end = min(start + split_size, n_pixels)
+            sl = slice(start, end)
+            uv = batch["uv"][sl]
+            pose = batch["pose"][sl]
+            intr = batch["intrinsics"][sl]
+            pad = split_size - (end - start)
+            if pad:
+                uv = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)])
+                pose = np.concatenate([pose, np.repeat(pose[-1:], pad, 0)])
+                intr = np.concatenate([intr, np.repeat(intr[-1:], pad, 0)])
+            out = model.render(pose, uv, intr, epoch, dataset.white_bkgd)
+            rgb = np.asarray(out["rgb"])[:end - start]
+            depth = np.asarray(out["depth"])[:end - start]
+            xs = batch["uv"][sl, 0].astype(np.int64)
+            ys = batch["uv"][sl, 1].astype(np.int64)
+            rgb_img[ys, xs] = rgb
+            depth_img[ys, xs] = depth
+
+        io_utils.save_rgb(os.path.join(path, f"image-{i}.png"), rgb_img)
+        io_utils.save_depth(os.path.join(path, f"depth-{i}"), depth_img[..., 0])
+
+
+def metrics(model: VectorFieldNerf,
+            eval_path: str,
+            dataset_config: DatasetConfig,
+            epoch: int,
+            split_size: int = 512) -> Dict[str, float]:
+    """Per-image + mean PSNR → ``metrics.json``
+    (reference ``methods.py:549-610``)."""
+    dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
+    dataset.all_pixels = True
+    images_path = os.path.join(eval_path, "rendered_images")
+
+    num_images = len(dataset)
+    needed = [os.path.join(images_path, f"image-{i}.png")
+              for i in range(num_images)] + \
+             [os.path.join(images_path, f"depth-{i}.npy")
+              for i in range(num_images)]
+    if not all(os.path.exists(p) for p in needed):
+        print("Not all images and depth maps exist. Rendering.")
+        render_images(model, eval_path, dataset_config, epoch, split_size)
+
+    h, w = dataset.image_size
+    psnrs = np.zeros(num_images)
+    metrics_dict: Dict[str, Dict[str, float]] = {}
+    for i in range(num_images):
+        target = dataset.rgb_images[i].reshape(h, w, 3)
+        predicted = io_utils.load_rgb(
+            os.path.join(images_path, f"image-{i}.png"),
+            transpose=False)
+        psnrs[i] = metric_utils.get_psnr(predicted, target)
+        metrics_dict[f"image-{i}"] = {"psnr": float(psnrs[i])}
+
+    payload: Dict = dict(metrics_dict)
+    payload["mean_psnr"] = float(psnrs.mean())
+    with open(os.path.join(eval_path, "metrics.json"), "w") as f:
+        json.dump(payload, f, indent=4)
+    return payload
+
+
+def tsdf_mesh(eval_path: str, dataset_config: DatasetConfig) -> None:
+    """Fuse the rendered depth maps into a TSDF mesh → ``tsdf-mesh/tsdf.ply``
+    (reference ``methods.py:613-665``; in-repo fusion instead of Open3D:
+    voxel 4/512, truncation 0.04, depth truncation 10)."""
+    from vf_nerf_tpu.evaluation.mc.tsdf import fuse_depth_maps
+    from vf_nerf_tpu.utils.ply import save_ply
+
+    dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
+    images_path = os.path.join(eval_path, "rendered_images")
+    files = os.listdir(images_path)
+    n_depth = len([f for f in files
+                   if f.startswith("depth") and f.endswith(".npy")])
+
+    depths = [np.load(os.path.join(images_path, f"depth-{i}.npy"))
+              for i in range(n_depth)]
+    poses = [dataset.poses[i] for i in range(n_depth)]
+    intrinsics = [dataset.intrinsics for _ in range(n_depth)]
+
+    verts, faces = fuse_depth_maps(depths, poses, intrinsics,
+                                   voxel_size=4.0 / 512.0, sdf_trunc=0.04,
+                                   depth_trunc=10.0)
+    mesh_dir = os.path.join(eval_path, "tsdf-mesh")
+    io_utils.mkdir_ifnotexists(mesh_dir)
+    save_ply(os.path.join(mesh_dir, "tsdf.ply"), verts, faces)
+
+
+def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
+               distance_thresh: float = 0.05) -> Dict[str, Dict]:
+    """Chamfer + P/R/F-score on the tsdf / smoothed / refused meshes →
+    ``3d-metrics.json`` (reference ``methods.py:667-744``)."""
+    from vf_nerf_tpu.evaluation.renderer import refuse_mesh
+    from vf_nerf_tpu.utils.meshes import (chamfer_distance, laplacian_smooth,
+                                          precision_recall_fscore,
+                                          sample_surface)
+    from vf_nerf_tpu.utils.ply import load_ply, save_ply
+
+    dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
+    tsdf_path = os.path.join(eval_path, "tsdf-mesh", "tsdf.ply")
+    if not os.path.exists(tsdf_path):
+        tsdf_mesh(eval_path, dataset_config)
+    verts, faces = load_ply(tsdf_path)
+
+    # Laplacian-smoothed variant (reference :686-691).
+    smooth_path = os.path.join(eval_path, "tsdf-mesh", "tsdf-smoothed.ply")
+    sm_verts = laplacian_smooth(verts, faces, iterations=10)
+    save_ply(smooth_path, sm_verts, faces)
+
+    # "Refused" variant: re-render into training views + re-fuse (:33-72).
+    refuse_path = os.path.join(eval_path, "tsdf-mesh", "tsdf-refused.ply")
+    rf_verts, rf_faces = refuse_mesh(sm_verts, faces, dataset)
+    save_ply(refuse_path, rf_verts, rf_faces)
+
+    gt_path = _gt_mesh_path(dataset_config)
+    gt_verts, gt_faces = load_ply(gt_path)
+    gt_points = sample_surface(gt_verts, gt_faces, 2_500_000, seed=0)
+
+    results: Dict[str, Dict] = {}
+    for name, (v, f) in {
+            "tsdf": (verts, faces),
+            "tsdf-smoothed": (sm_verts, faces),
+            "tsdf-refused": (rf_verts, rf_faces)}.items():
+        if len(v) == 0:
+            results[name] = {"error": "empty mesh"}
+            continue
+        pred_points = sample_surface(v, f, 2_500_000, seed=0)
+        acc, comp, chamfer = chamfer_distance(pred_points, gt_points)
+        prf = precision_recall_fscore(pred_points, gt_points,
+                                      distance_thresh)
+        results[name] = {"chamfer": chamfer, "accuracy": acc,
+                         "completeness": comp, **prf}
+
+    with open(os.path.join(eval_path, "3d-metrics.json"), "w") as f:
+        json.dump(results, f, indent=4)
+    return results
+
+
+def metrics_3d_no_vf(eval_path: str, checkpoint: str,
+                     dataset_config: DatasetConfig,
+                     distance_thresh: float = 0.05) -> Dict[str, Dict]:
+    """3D metrics for an external baseline mesh (reference
+    ``methods.py:747-801``): evaluates ``<eval>/<checkpoint>.ply`` directly."""
+    from vf_nerf_tpu.utils.meshes import (chamfer_distance,
+                                          precision_recall_fscore,
+                                          sample_surface)
+    from vf_nerf_tpu.utils.ply import load_ply
+
+    mesh_path = os.path.join(eval_path, f"{checkpoint}.ply")
+    verts, faces = load_ply(mesh_path)
+    gt_verts, gt_faces = load_ply(_gt_mesh_path(dataset_config))
+    pred_points = sample_surface(verts, faces, 2_500_000, seed=0)
+    gt_points = sample_surface(gt_verts, gt_faces, 2_500_000, seed=0)
+    acc, comp, chamfer = chamfer_distance(pred_points, gt_points)
+    prf = precision_recall_fscore(pred_points, gt_points, distance_thresh)
+    results = {"baseline": {"chamfer": chamfer, "accuracy": acc,
+                            "completeness": comp, **prf}}
+    with open(os.path.join(eval_path, "3d-metrics.json"), "w") as f:
+        json.dump(results, f, indent=4)
+    return results
+
+
+def _gt_mesh_path(dataset_config: DatasetConfig) -> str:
+    base = os.path.join(dataset_config.data_root_dir,
+                        dataset_config.data_dir)
+    if dataset_config.dataset_name == "replica":
+        return os.path.join(base, f"{dataset_config.scene}_mesh.ply")
+    return os.path.join(base, str(dataset_config.scene),
+                        f"{dataset_config.scene}_vh_clean.ply")
+
+
+# ---------------------------------------------------------------- MC meshes
+
+def marching_cubes_mesh(model: VectorFieldNerf, resolution: int,
+                        mesh_path: str, checkpoint: str, scale: float,
+                        max_batch: int, centroid: np.ndarray,
+                        smooth_after: bool = False,
+                        smooth_all: bool = False,
+                        translation: Optional[np.ndarray] = None) -> tuple:
+    """VF grid → contrastive marching cubes → ply
+    (reference ``methods.py:139-322``); see ``evaluation/mc``."""
+    from vf_nerf_tpu.evaluation.mc.pipeline import extract_vf_mesh
+    from vf_nerf_tpu.utils.ply import save_ply
+
+    verts, faces = extract_vf_mesh(
+        lambda pts: np.asarray(model.get_vector_field(pts)),
+        resolution=resolution, scale=scale, centroid=np.asarray(centroid),
+        translation=(np.zeros(3, np.float32) if translation is None
+                     else translation),
+        max_batch=max_batch, smooth_before=smooth_all,
+        smooth_after=smooth_after)
+    io_utils.mkdir_ifnotexists(mesh_path)
+    save_ply(os.path.join(mesh_path, f"mesh-{checkpoint}.ply"), verts, faces)
+    return verts, faces
+
+
+def quadrant_marching_cubes(model: VectorFieldNerf, resolution: int,
+                            mesh_path: str, checkpoint: str, scale: float,
+                            max_batch: int, centroid: np.ndarray,
+                            num_quadrants: int = 8,
+                            smooth_after: bool = False,
+                            smooth_all: bool = False) -> tuple:
+    """Per-octant MC + concatenation — the memory-scaling workaround for high
+    resolutions (reference ``methods.py:74-137``: 8, 35 or 64 translations)."""
+    from vf_nerf_tpu.evaluation.mc.pipeline import (extract_vf_mesh,
+                                                    quadrant_translations)
+    from vf_nerf_tpu.utils.meshes import concatenate_meshes
+    from vf_nerf_tpu.utils.ply import save_ply
+
+    meshes = []
+    for translation, sub_scale in quadrant_translations(num_quadrants, scale):
+        v, f = extract_vf_mesh(
+            lambda pts: np.asarray(model.get_vector_field(pts)),
+            resolution=resolution, scale=sub_scale,
+            centroid=np.asarray(centroid), translation=translation,
+            max_batch=max_batch, smooth_before=smooth_all,
+            smooth_after=smooth_after)
+        if len(v):
+            meshes.append((v, f))
+    verts, faces = concatenate_meshes(meshes) if meshes else \
+        (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    io_utils.mkdir_ifnotexists(mesh_path)
+    save_ply(os.path.join(mesh_path, f"merged-mesh-{checkpoint}.ply"),
+             verts, faces)
+    return verts, faces

@@ -1,0 +1,258 @@
+"""Experiment runner: ``VectorFieldNerfRunner``.
+
+Reference: ``train/vector_field_nerf_train.py:23-292``. Same public contract:
+
+- output layout ``<exps_folder>/<expname>/<timestamp>/{checkpoints/vf_nerf,
+  vf_nerf.conf}`` with a conf snapshot (``:79-113``),
+- resume from ``--timestamp --checkpoint latest`` restoring model + optimizer
+  + schedule, re-deriving the fine-sample count from the epoch
+  (``:115-134``),
+- per-epoch: ``sample_new_images()``, fine count +5 every ``increase_every``
+  epochs capped at ``max_samples`` (``:146-147``), loss averaging, logging of
+  all loss terms + learned density β/mean/scale + lr + window weights
+  (``:263-291``),
+- the eval-mode quirk: the whole model runs with frozen BatchNorm when the
+  directional-derivative loss weight is 0 — the default (``:140-141``),
+- LR decay steps = ``num_epochs * len(dataset)`` (``:39``) so the exponential
+  schedule completes exactly at the end of training.
+
+TPU-shaped: one jitted train step per (fine-count) static config; ray batches
+stream host→device each step; multi-device runs shard the ray axis over the
+data mesh (the batch is trimmed to a device-count multiple).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vf_nerf_tpu.config.schema import VFRunnerConfig, asdict_config
+from vf_nerf_tpu.datasets import dataset_dict
+from vf_nerf_tpu.models.nerf import VectorFieldNerf
+from vf_nerf_tpu.models.renderer import RenderStatics
+from vf_nerf_tpu.parallel import mesh as mesh_lib
+from vf_nerf_tpu.parallel.train_step import (SupervisionStatics,
+                                             make_train_step)
+from vf_nerf_tpu.utils import io as io_utils
+from vf_nerf_tpu.utils.logging import MetricsLogger
+
+SEED = 42  # reference utils/utils.py:157-167
+
+
+class VectorFieldNerfRunner:
+    def __init__(self, config: VFRunnerConfig) -> None:
+        self.config = config
+        np.random.seed(SEED)
+
+        # Dataset (loads everything to host RAM, reference :36).
+        self.dataset = dataset_dict[config.dataset_config.dataset_name](
+            config.dataset_config)
+
+        decay_steps = config.num_epochs * len(self.dataset)
+        config.vf_nerf_config.scheduler_config.lr_decay_steps = decay_steps
+
+        # Model.
+        self.model = VectorFieldNerf(config.vf_nerf_config, seed=SEED,
+                                     decay_steps=decay_steps)
+        near, far = self.dataset.get_bounds()
+        self.model.near, self.model.far = near, far
+
+        # VF init (reference :47-48; .pth import or regenerated init).
+        self.init_method, init_path = self.dataset.get_vf_init_method()
+        self._load_vf_init(init_path)
+
+        # Device mesh for data-parallel ray sharding.
+        n_dev = config.vf_nerf_config.device_config.num_devices
+        avail = len(jax.devices())
+        self.n_devices = min(n_dev, avail) if n_dev > 0 else avail
+        self.mesh = mesh_lib.make_mesh(self.n_devices) \
+            if self.n_devices > 1 else None
+
+        self.create_output_folders()
+        self.load_model()
+
+        # Train-mode quirk (reference :140-141): BN frozen unless the
+        # directional-derivative loss is active.
+        self.train_dir_derivatives = \
+            config.vf_loss_weights.directional_derivatives != 0.0
+        if self.train_dir_derivatives:
+            self.model.train()
+        else:
+            self.model.eval()
+
+        self.logger = MetricsLogger(
+            run_dir=self.run_dir,
+            project=config.wandb_project,
+            run_name=config.expname,
+            run_id=config.timestamp,
+            config=asdict_config(config),
+            offline=config.offline)
+
+        self._step_cache: Dict[Any, Any] = {}
+        self._epoch_rng = np.random.RandomState(SEED)
+
+    # ------------------------------------------------------------- folders
+    def create_output_folders(self) -> None:
+        """Reference ``create_output_folders`` (``:79-113``)."""
+        cfg = self.config
+        if cfg.timestamp == "":
+            cfg.timestamp = io_utils.get_timestamp()
+        self.run_dir = os.path.join(cfg.exps_folder, cfg.expname,
+                                    cfg.timestamp)
+        self.ckpt_dir = os.path.join(self.run_dir, "checkpoints", "vf_nerf")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        conf_copy = os.path.join(self.run_dir, "vf_nerf.conf")
+        if not os.path.exists(conf_copy) and os.path.exists(cfg.config_path):
+            shutil.copy2(cfg.config_path, conf_copy)
+
+    # -------------------------------------------------------------- resume
+    def load_model(self) -> None:
+        """Reference ``load_model`` (``:115-134``)."""
+        cfg = self.config
+        if cfg.checkpoint == "":
+            return
+        path = os.path.join(self.ckpt_dir, f"{cfg.checkpoint}.ckpt")
+        if not os.path.exists(path):
+            raise FileExistsError(f"Checkpoint path: {path} does not exist.")
+        cfg.start_epoch = self.model.load(path) + 1
+        rs = cfg.vf_nerf_config.ray_sampler_config
+        if rs.fine_sampling():
+            self.model.fine_n_samples = min(
+                self.model.fine_n_samples +
+                5 * (cfg.start_epoch // rs.increase_every),
+                rs.max_samples)
+        print(f"Loaded model from {cfg.checkpoint}")
+
+    def _load_vf_init(self, init_path: str) -> None:
+        """VF-init weights: regenerated ``.pkl`` (``train/vf_init.py``)
+        preferred; reference ``.pth`` import supported; random init with a
+        warning otherwise (the reference's shipped inits are LFS stubs,
+        SURVEY.md §3.5)."""
+        pkl_path = os.path.splitext(init_path)[0] + ".pkl" if init_path \
+            else ""
+        if pkl_path and os.path.exists(pkl_path):
+            self.model.load_vf_init(pkl_path)
+        elif init_path and os.path.exists(init_path) and \
+                os.path.getsize(init_path) > 1024:  # skip LFS pointer stubs
+            try:
+                from vf_nerf_tpu.utils.torch_import import (
+                    load_torch_checkpoint, mlp_state_from_torch)
+                blob = load_torch_checkpoint(init_path)
+                vf_cfg = self.config.vf_nerf_config.vf_net_config
+                params, stats = mlp_state_from_torch(
+                    blob if isinstance(blob, dict) and
+                    "layers.0.0.weight" in blob else blob,
+                    n_layers=len(vf_cfg.dimensions) + 1,
+                    batch_norm=vf_cfg.batch_norm,
+                    weight_norm=vf_cfg.weight_norm)
+                import pickle
+                import tempfile
+                state = self.model.state
+                new_params = dict(state.params)
+                new_params["vf"] = jax.tree_util.tree_map(jnp.asarray, params)
+                new_stats = dict(state.batch_stats)
+                new_stats["vf"] = jax.tree_util.tree_map(jnp.asarray, stats)
+                self.model.state = state.replace(
+                    params=new_params, batch_stats=new_stats,
+                    opt_state=self.model.optimizer.init(new_params))
+            except Exception as exc:  # noqa: BLE001 — diagnostics only
+                print(f"WARNING: could not import VF init {init_path}: "
+                      f"{exc}; run train/vf_init.py to regenerate.")
+        else:
+            print(f"WARNING: VF init weights not found at {init_path!r} "
+                  "(the reference ships LFS stubs); starting from random "
+                  "init. Run `python -m vf_nerf_tpu.train.vf_init` to "
+                  "pretrain them.")
+
+    # ---------------------------------------------------------------- step
+    def _get_step(self):
+        """Jitted train step cached per static (fine-count, supervision)
+        configuration."""
+        statics = self.model.render_statics(
+            compute_dir_derivatives=self.train_dir_derivatives)
+        n_rays = self._batch_rays()
+        sup = SupervisionStatics.from_config(
+            self.config.vf_nerf_config, self.init_method, n_rays=n_rays,
+            n_samples=statics.n_coarse + statics.n_fine,
+            border_radius=self.config.dataset_config.border_radius)
+        key = (statics, sup)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.model.modules, self.model.optimizer, statics, sup,
+                self.config.vf_loss_weights, self.config.vf_loss_config)
+        return self._step_cache[key]
+
+    def _batch_rays(self) -> int:
+        n = self.dataset.total_pixels
+        if self.mesh is not None:
+            n = (n // self.n_devices) * self.n_devices
+        return n
+
+    def _feed(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        n = self._batch_rays()
+        trimmed = {k: v[:n] for k, v in batch.items() if v.size > 0}
+        if self.mesh is not None:
+            return mesh_lib.shard_batch(self.mesh, trimmed)
+        return {k: jnp.asarray(v) for k, v in trimmed.items()}
+
+    # --------------------------------------------------------------- train
+    def train(self) -> None:
+        """Reference ``train`` (``:136-159``)."""
+        cfg = self.config
+        rs = cfg.vf_nerf_config.ray_sampler_config
+        if self.mesh is not None:
+            self.model.state = mesh_lib.replicate_state(self.mesh,
+                                                        self.model.state)
+        for epoch in range(cfg.start_epoch, cfg.num_epochs):
+            self.dataset.sample_new_images()
+            if rs.fine_sampling() and epoch % rs.increase_every == 0:
+                self.model.fine_n_samples = min(
+                    self.model.fine_n_samples + 5, rs.max_samples)
+            loss = self.train_epoch(epoch)
+            if epoch % cfg.save_frequency == 0:
+                self.model.save(epoch, self.ckpt_dir)
+            print(f"Epoch {epoch}: Loss {loss}")
+        cfg.start_epoch = cfg.num_epochs + 1
+        self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
+
+    def train_epoch(self, epoch: int) -> float:
+        """Reference ``train_epoch`` (``:161-292``) — one mixed-view ray
+        batch per dataset item, loss averaging, end-of-epoch logging."""
+        window = self.model.update_annealing(epoch)
+        step = self._get_step()
+        centroid = jnp.asarray(self.dataset.get_centroid())
+        near = jnp.float32(self.model.near)
+        far = jnp.float32(self.model.far)
+        window_j = jnp.asarray(window)
+        epoch_j = jnp.asarray(epoch, jnp.int32)
+
+        sums: Optional[Dict[str, float]] = None
+        count = 0
+        for batch in self.dataset.epoch_batches(self._epoch_rng):
+            fed = self._feed(batch)
+            state, metrics = step(self.model.state, fed,
+                                  self.model._next_key(), epoch_j,
+                                  window_weights=window_j, near=near,
+                                  far=far, centroid=centroid)
+            self.model.state = state
+            host = {k: float(v) for k, v in metrics.items()}
+            if sums is None:
+                sums = host
+            else:
+                for k, v in host.items():
+                    sums[k] += v
+            count += 1
+
+        averages = {k: v / count for k, v in (sums or {}).items()}
+        averages.update(self.model.density_scalars())
+        averages["learning_rate"] = self.model.current_lr()
+        averages.update({f"w_{i}": float(w) for i, w in enumerate(window)})
+        self.logger.log(averages, step=epoch)
+        return averages.get("loss", float("nan"))
