@@ -1,0 +1,288 @@
+"""Mesh stack tests: MC tables, smoothing/field-op parity vs the reference,
+full contrastive-MC extraction on the analytic box field, classic MC, TSDF
+fusion, rasterizer, refuse."""
+
+import numpy as np
+import pytest
+
+from reference_oracle import add_reference_to_path, reference_available
+from vf_nerf_tpu.datasets.synthetic import (SyntheticBoxDataset, analytic_vf,
+                                            box_mesh)
+from vf_nerf_tpu.evaluation.mc import field_ops
+from vf_nerf_tpu.evaluation.mc.classic import marching_cubes
+from vf_nerf_tpu.evaluation.mc.pipeline import (extract_vf_mesh,
+                                                quadrant_translations)
+from vf_nerf_tpu.evaluation.mc.smoothing import smooth_vf_np
+from vf_nerf_tpu.evaluation.mc.tables import EDGE_TABLE, TRI_TABLE
+from vf_nerf_tpu.utils.meshes import chamfer_distance, sample_surface
+
+
+def analytic_box_vf_fn(half_size=1.0):
+    """The oracle field: unit vectors toward the nearest wall of a cube,
+    scaled by distance (so the norm is a UDF-like magnitude)."""
+    def fn(points):
+        p = np.asarray(points, np.float32)
+        v = analytic_vf(p, half_size)
+        inside_dist = (half_size - np.abs(p)).min(axis=-1)
+        closest = np.clip(p, -half_size, half_size)
+        outside_dist = np.linalg.norm(p - closest, axis=-1)
+        udf = np.where(inside_dist > 0, inside_dist, outside_dist)
+        return v * np.maximum(udf, 1e-4)[..., None]
+    return fn
+
+
+class TestTables:
+    def test_edge_table_matches_reference(self):
+        if not reference_available():
+            pytest.skip("reference not mounted")
+        add_reference_to_path()
+        import evaluation.utils.marching_cubes_lookup as ref
+        np.testing.assert_array_equal(EDGE_TABLE, np.array(ref.EDGE_TABLE))
+
+    def test_tri_counts_match_reference(self):
+        if not reference_available():
+            pytest.skip("reference not mounted")
+        add_reference_to_path()
+        import evaluation.utils.marching_cubes_lookup as ref
+        for c in range(256):
+            ours = int((TRI_TABLE[c] >= 0).sum()) // 3
+            theirs = int((np.array(ref.TRI_TABLE[c]) >= 0).sum()) // 3
+            assert ours == theirs, f"config {c}: {ours} vs {theirs}"
+
+    def test_tri_edges_are_cut_edges(self):
+        for c in range(256):
+            tris = TRI_TABLE[c][TRI_TABLE[c] >= 0]
+            for e in tris:
+                assert (EDGE_TABLE[c] >> e) & 1
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="reference not mounted")
+class TestFieldOpParity:
+    def test_smoothing_matches_reference(self):
+        add_reference_to_path()
+        import torch
+        from evaluation.utils.guassian_smoothing import smooth_vf as ref_smooth
+        rng = np.random.RandomState(0)
+        vf = rng.randn(10, 10, 10, 3).astype(np.float32)
+        for k, sigma in ((3, 1.0), (9, 2.0)):
+            theirs = ref_smooth(torch.from_numpy(vf), k=k,
+                                sigma=sigma).numpy()
+            ours = smooth_vf_np(vf, k=k, sigma=sigma)
+            np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_divergence_matches_reference(self):
+        add_reference_to_path()
+        import torch
+        from evaluation.utils import mc_utils
+        rng = np.random.RandomState(1)
+        n = 12
+        vf = rng.randn(n ** 3, 3).astype(np.float32)
+        theirs = mc_utils.extract_divergence(torch.from_numpy(vf.copy()),
+                                             n).numpy()
+        ours = field_ops.extract_divergence(vf.reshape(n, n, n, 3))
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_unify_and_combs_match_reference(self):
+        add_reference_to_path()
+        import torch
+        import torch.nn.functional as F
+        from evaluation.utils import mc_utils
+
+        rng = np.random.RandomState(2)
+        n = 10
+        vf = rng.randn(n ** 3, 3).astype(np.float32)
+        div_t = mc_utils.extract_divergence(torch.from_numpy(vf.copy()), n)
+        vt_t = F.normalize(torch.from_numpy(vf.copy()), dim=1) \
+            .reshape(n, n, n, 3)
+        norms_t = torch.norm(torch.from_numpy(vf.copy()), dim=1)
+
+        choice_t = mc_utils.unify_direction(div_t, vt_t.permute(3, 0, 1, 2),
+                                            N=n)
+        comb_t, norms_pairs_t = mc_utils.make_comb_format(choice_t, norms_t,
+                                                          n)
+
+        surface = div_t.numpy()
+        cells = np.argwhere(surface > 0.5)
+        vt = vt_t.numpy()
+        norms_grid = norms_t.numpy().reshape(n, n, n)
+
+        choice = field_ops.unify_direction(surface, vt, cells)
+        comb, pair_norms = field_ops.make_comb_format(choice, norms_grid,
+                                                      cells)
+
+        flat_idx = cells[:, 0] * n * n + cells[:, 1] * n + cells[:, 2]
+        np.testing.assert_array_equal(
+            choice, choice_t.numpy()[flat_idx])
+        np.testing.assert_array_equal(comb, comb_t.numpy()[flat_idx])
+        np.testing.assert_allclose(pair_norms,
+                                   norms_pairs_t.numpy()[flat_idx],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_combs_to_verts_scalar_oracle(self):
+        """Vectorized corner classification vs a direct per-cell scalar
+        re-derivation of ``combs_to_verts`` (reference
+        ``marching_cubes_vt.py:62-102``). (The reference module itself
+        imports numba, which this image lacks.)"""
+        from vf_nerf_tpu.evaluation.mc.contrastive import \
+            combs_to_vert_values
+        from vf_nerf_tpu.evaluation.mc.tables import (COMB_I, COMB_J,
+                                                      CORNER_COMB,
+                                                      CORNER_LANE,
+                                                      PAIR_TO_COMB)
+
+        def scalar_oracle(comb_values, pair_norms):
+            if comb_values.max() <= 0.5:
+                return np.zeros(8)
+            anchor = int(np.argmax(comb_values))
+            a0, a1 = int(COMB_I[anchor]), int(COMB_J[anchor])
+            class1 = {a1}
+            for v in range(8):
+                if v in (a0, a1):
+                    continue
+                c0 = comb_values[PAIR_TO_COMB[v, a0]]
+                c1 = comb_values[PAIR_TO_COMB[v, a1]]
+                if c0 > c1:
+                    class1.add(v)
+            out = np.full(8, -1.0)
+            for v in class1:
+                out[v] = 1.0
+            return out * pair_norms[CORNER_COMB, CORNER_LANE]
+
+        rng = np.random.RandomState(0)
+        m = 200
+        comb = (rng.rand(m, 28) > 0.5).astype(np.float32)
+        comb[:20] = 0.0  # exercise the no-surface branch
+        norms = rng.uniform(0.01, 1.0, (m, 28, 2)).astype(np.float32)
+        ours = combs_to_vert_values(comb, norms)
+        for i in range(m):
+            np.testing.assert_allclose(ours[i],
+                                       scalar_oracle(comb[i], norms[i]),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_mesh_vertices_on_box_surface(self):
+        """Extracted vertices must hug the analytic box walls (accounting
+        for the reference's (res−1)/res mesh-scale quirk, reproduced)."""
+        res = 24
+        fn = analytic_box_vf_fn(half_size=1.0)
+        verts, faces = extract_vf_mesh(
+            fn, resolution=res, scale=1.5, centroid=np.zeros(3),
+            translation=np.zeros(3, np.float32), max_batch=10000)
+        assert len(verts) > 100
+        # Undo the quirk scale for the analytic comparison.
+        quirk = res / (res - 1.0)
+        v = np.abs(verts * quirk)
+        # The analytic field also converges along exterior edge-Voronoi
+        # sheets (real VF fields have similar artifacts — that is what the
+        # reference's TSDF-refuse culling is for); assert on face-region
+        # vertices only: exactly one coordinate near the wall.
+        sorted_coords = np.sort(v, axis=1)
+        face_region = sorted_coords[:, 1] < 0.9  # two minor coords inside
+        assert face_region.sum() > 50
+        dist = np.abs(v[face_region].max(axis=1) - 1.0)
+        voxel = 2 * 1.5 / (res - 1)
+        assert np.median(dist) < voxel
+
+
+class TestClassicMC:
+    def test_sphere_chamfer(self):
+        n = 48
+        coords = np.linspace(-1.2, 1.2, n)
+        x, y, z = np.meshgrid(coords, coords, coords, indexing="ij")
+        sdf = np.sqrt(x ** 2 + y ** 2 + z ** 2) - 1.0
+        voxel = coords[1] - coords[0]
+        verts, faces = marching_cubes(sdf.astype(np.float32), 0.0,
+                                      origin=np.full(3, -1.2),
+                                      voxel_size=voxel)
+        assert len(verts) > 100
+        r = np.linalg.norm(verts, axis=1)
+        assert np.abs(r - 1.0).max() < voxel
+
+    def test_box_field_mesh_chamfer(self):
+        fn = analytic_box_vf_fn(half_size=1.0)
+        verts, faces = extract_vf_mesh(fn, resolution=32, scale=1.5,
+                                       centroid=np.zeros(3),
+                                       translation=np.zeros(3, np.float32),
+                                       max_batch=8192)
+        assert len(verts) > 0
+        gt_v, gt_f = box_mesh(1.0)
+        pred_pts = sample_surface(verts, faces, 20000, seed=0)
+        gt_pts = sample_surface(gt_v, gt_f, 20000, seed=1)
+        _, _, chamfer = chamfer_distance(pred_pts, gt_pts)
+        # voxel ≈ 0.097 at res 32/scale 1.5, plus the reproduced reference
+        # (res−1)/res mesh-scale quirk (~3%).
+        assert chamfer < 0.13
+
+    def test_quadrant_translations(self):
+        for n, expected in ((8, 8), (64, 64), (35, 35)):
+            items = list(quadrant_translations(n, 2.0))
+            assert len(items) == expected
+
+
+class TestTSDF:
+    def test_fuse_box_depths(self):
+        ds = SyntheticBoxDataset(n_images=6, image_size=(24, 32),
+                                 pixels_per_batch=96, half_size=1.0)
+        h, w = ds.image_size
+        depths = [ds.depth_images[i].reshape(h, w) for i in range(6)]
+        poses = [ds.poses[i] for i in range(6)]
+        intr = [ds.intrinsics for _ in range(6)]
+        verts, faces = fuse_depth_maps_wrap(depths, poses, intr)
+        assert len(verts) > 50
+        # All fused geometry lies near the cube walls.
+        dist_to_wall = np.abs(np.abs(verts).max(axis=1) - 1.0)
+        assert np.median(dist_to_wall) < 0.05
+
+
+def fuse_depth_maps_wrap(depths, poses, intr):
+    from vf_nerf_tpu.evaluation.mc.tsdf import fuse_depth_maps
+    return fuse_depth_maps(depths, poses, intr, voxel_size=0.04,
+                           sdf_trunc=0.1, depth_trunc=10.0)
+
+
+class TestRasterizer:
+    def test_depth_matches_analytic(self):
+        from vf_nerf_tpu.evaluation.renderer import render_depth
+        ds = SyntheticBoxDataset(n_images=2, image_size=(24, 32),
+                                 pixels_per_batch=96, half_size=1.0)
+        verts, faces = ds.gt_mesh()
+        h, w = ds.image_size
+        depth = render_depth(verts.astype(np.float32), faces, ds.poses[0],
+                             ds.intrinsics, h, w)
+        gt = ds.depth_images[0].reshape(h, w)
+        hit = depth > 0
+        assert hit.mean() > 0.9
+        err = np.abs(depth[hit] - gt[hit])
+        assert np.median(err) < 0.05
+
+    def test_numpy_fallback_agrees_with_native(self):
+        from vf_nerf_tpu.evaluation import renderer as rmod
+        ds = SyntheticBoxDataset(n_images=1, image_size=(16, 20),
+                                 pixels_per_batch=64, half_size=1.0)
+        verts, faces = ds.gt_mesh()
+        h, w = ds.image_size
+        native = rmod.render_depth(verts.astype(np.float32), faces,
+                                   ds.poses[0], ds.intrinsics, h, w)
+        if rmod._lib is None:
+            pytest.skip("native rasterizer not built")
+        world_to_cam = np.linalg.inv(ds.poses[0])
+        v_h = np.concatenate([verts, np.ones((len(verts), 1))], axis=1)
+        cam = (v_h @ world_to_cam.T)[:, :3].astype(np.float32)
+        k = ds.intrinsics
+        fallback = rmod._render_depth_numpy(
+            cam, faces, k[0, 0], k[1, 1], k[0, 2], k[1, 2], h, w, 1e-4)
+        np.testing.assert_allclose(native, fallback, rtol=1e-4, atol=1e-4)
+
+
+class TestRefuse:
+    def test_refuse_keeps_observed_geometry(self):
+        from vf_nerf_tpu.evaluation.renderer import refuse_mesh
+        ds = SyntheticBoxDataset(n_images=6, image_size=(24, 32),
+                                 pixels_per_batch=96, half_size=1.0)
+        verts, faces = ds.gt_mesh()
+        rv, rf = refuse_mesh(verts.astype(np.float32), faces, ds,
+                             voxel_size=0.05, sdf_trunc=0.12,
+                             depth_trunc=10.0)
+        assert len(rv) > 50
+        dist_to_wall = np.abs(np.abs(rv).max(axis=1) - 1.0)
+        assert np.median(dist_to_wall) < 0.06

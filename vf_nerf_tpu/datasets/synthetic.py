@@ -46,18 +46,31 @@ def wall_color(points: np.ndarray) -> np.ndarray:
 
 
 def analytic_vf(points: np.ndarray, half_size: float) -> np.ndarray:
-    """Unit field pointing toward the nearest wall of the cube (the
-    integration-test oracle for the learned field)."""
+    """Unit field pointing toward the nearest wall of the cube — the
+    integration-test oracle for the learned field. Inside, it points outward
+    along the closest-wall axis; outside, it points back toward the cube, so
+    the field flips sign across the surface (the sign flip is what VF-NeRF's
+    density detects)."""
     p = np.asarray(points, np.float32)
-    dist_to_wall = half_size - np.abs(p)  # (..., 3), per axis
+    flat = p.reshape(-1, 3)
+    dist_to_wall = half_size - np.abs(flat)      # per axis; <0 outside
+    inside = (dist_to_wall > 0).all(axis=-1)
+
+    # Inside: unit vector toward the nearest wall.
     axis = np.argmin(dist_to_wall, axis=-1)
-    v = np.zeros_like(p)
-    idx = np.indices(axis.shape)
-    sign = np.sign(np.take_along_axis(p, axis[..., None], axis=-1))[..., 0]
+    sign = np.sign(flat[np.arange(len(flat)), axis])
     sign = np.where(sign == 0, 1.0, sign)
-    v.reshape(-1, 3)[np.arange(axis.size),
-                     axis.reshape(-1)] = sign.reshape(-1)
-    return v
+    v_in = np.zeros_like(flat)
+    v_in[np.arange(len(flat)), axis] = sign
+
+    # Outside: toward the closest point on the cube surface.
+    closest = np.clip(flat, -half_size, half_size)
+    delta = closest - flat
+    norm = np.linalg.norm(delta, axis=-1, keepdims=True)
+    v_out = delta / np.maximum(norm, 1e-8)
+
+    v = np.where(inside[:, None], v_in, v_out)
+    return v.reshape(p.shape).astype(np.float32)
 
 
 def _ray_box_exit_t(origins: np.ndarray, dirs: np.ndarray,
