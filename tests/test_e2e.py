@@ -65,6 +65,17 @@ loss {
         directional_derivatives = 0.00
     }
 }
+supervised_loss_weights {
+    surface = 2.0
+    non_surface = 0.5
+    supervision = 10.0
+    rgb = 0.0
+    depth = 0.5
+    unit_norm = 0.1
+    similarity = 1.0
+    colors = 1.0
+    directional_derivatives = 0.0
+}
 dataset {
     dataset_name = "replica"
     data_dir = "Replica"

@@ -1,0 +1,146 @@
+"""Joint pose-and-field optimization tests + pose/geometry utilities."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vf_nerf_tpu.ops.rays import (matrix_to_pose7, pose7_to_matrix,
+                                  quat_to_rot, rot_to_quat)
+
+
+class TestQuatRoundTrip:
+    def test_rot_to_quat_round_trip(self):
+        from scipy.spatial.transform import Rotation
+        rots = Rotation.random(64, random_state=0).as_matrix() \
+            .astype(np.float32)
+        q = rot_to_quat(jnp.asarray(rots))
+        back = np.asarray(quat_to_rot(q))
+        np.testing.assert_allclose(back, rots, rtol=1e-4, atol=1e-5)
+
+    def test_pose7_round_trip(self):
+        from scipy.spatial.transform import Rotation
+        n = 16
+        poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        poses[:, :3, :3] = Rotation.random(n, random_state=1).as_matrix()
+        poses[:, :3, 3] = np.random.RandomState(2).randn(n, 3)
+        p7 = matrix_to_pose7(jnp.asarray(poses))
+        back = np.asarray(pose7_to_matrix(p7))
+        np.testing.assert_allclose(back, poses, rtol=1e-4, atol=1e-5)
+
+
+class TestGeometryUtils:
+    def test_sphere_intersections(self):
+        from vf_nerf_tpu.utils.geometry import compute_sphere_intersections
+        cam = jnp.asarray([[0.0, 0.0, -0.5]])
+        dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+        roots = np.asarray(compute_sphere_intersections(cam, dirs,
+                                                        radius=1.0))
+        # enters at z=-1 (t=-0.5→clamped 0), exits at z=1 (t=1.5)
+        np.testing.assert_allclose(roots[0], [0.0, 1.5], atol=1e-5)
+
+    def test_project_to_plane(self):
+        from vf_nerf_tpu.utils.geometry import project_to_plane
+        pts = jnp.asarray([[0.0, 0, 0], [1, 2, 3], [4, 5, 6]])
+        vecs = jnp.asarray([[1.0, 0, 0], [0, 1, 0], [0, 0, 1]])
+        p2, v2 = project_to_plane(pts, vecs, jnp.asarray([1.0, 0, 0]),
+                                  jnp.asarray([0.0, 1, 0]))
+        np.testing.assert_allclose(np.asarray(p2),
+                                   [[0, 0], [1, 2], [4, 5]], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v2),
+                                   [[1, 0], [0, 1], [0, 0]], atol=1e-6)
+
+    def test_dominant_bases(self, tmp_path):
+        from vf_nerf_tpu.datasets.synthetic import box_mesh
+        from vf_nerf_tpu.utils.geometry import get_dominant_bases
+        from vf_nerf_tpu.utils.ply import save_ply
+        verts, faces = box_mesh(1.0)
+        path = os.path.join(str(tmp_path), "box.ply")
+        save_ply(path, verts, faces)
+        bases = get_dominant_bases(6, 1.0, path)
+        assert bases.shape == (6, 3)
+        # A cube's face normals are axis-aligned; every basis should be
+        # near an axis direction.
+        aligned = np.abs(bases).max(axis=1)
+        assert (aligned > 0.9).all()
+
+
+class TestSnapToBases:
+    def test_snapping(self):
+        from vf_nerf_tpu.train.joint_runner import snap_to_bases
+        bases = jnp.asarray(np.eye(3, dtype=np.float32))
+        v = jnp.asarray([[0.9, 0.1, 0.0], [-0.8, 0.2, 0.1],
+                         [0.0, 0.0, -1.0]])
+        snapped = np.asarray(snap_to_bases(v, bases))
+        np.testing.assert_allclose(snapped, [[1, 0, 0], [-1, 0, 0],
+                                             [0, 0, -1]])
+
+
+class TestJointRunner:
+    def _build(self, tmp_path):
+        from test_e2e import TINY_CONF
+        from vf_nerf_tpu.config.joint_parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+
+        root = str(tmp_path)
+        ds = SyntheticBoxDataset(n_images=3, image_size=(12, 16),
+                                 pixels_per_batch=96)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        exps = os.path.join(root, "exps_vf_nerf")
+        with open(conf_path, "w") as f:
+            f.write(TINY_CONF.replace("EXPS_PLACEHOLDER", exps))
+        joint_conf = os.path.join(root, "joint.conf")
+        with open(joint_conf, "w") as f:
+            f.write("""
+train {
+    initial_training_epochs = 0
+    supervised_vf_epochs = 1
+    joint_epochs = 3
+    supervise_every = 2
+    supervision_epochs = 1
+    refinement_init_lr = 1e-3
+    reset_scheduler = False
+}
+joint_optimization {
+    save_frequency = 2
+    num_bases = 6
+    decimation = 1.0
+    self_supervise = True
+}
+""")
+        return parse_config(scene="boxroom", vf_config_path=conf_path,
+                            joint_config_path=joint_conf, expname="synth",
+                            timestamp="joint_test", data_root_dir=root,
+                            offline=True)
+
+    def test_parse_config(self, tmp_path):
+        cfg = self._build(tmp_path)
+        assert cfg.train_config.joint_epochs == 3
+        assert cfg.num_bases == 6
+        assert cfg.vf_config.supervised_loss_weights.supervision == 10.0
+        # num_epochs overridden (reference joint_opt_config_parser.py:63)
+        assert cfg.vf_config.num_epochs == \
+            cfg.train_config.supervised_vf_epochs
+
+    def test_joint_training_runs_and_improves(self, tmp_path):
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        cfg = self._build(tmp_path)
+        runner = JointOptimizationRunner(cfg)
+        initial_poses = runner.pose_params.copy()
+        metrics = runner.train()
+        assert np.isfinite(metrics["loss"])
+        # Pose parameters received gradients.
+        assert not np.allclose(runner.pose_params, initial_poses)
+        # Checkpoints with refined poses exist.
+        assert os.path.exists(os.path.join(runner.ckpt_dir, "latest.ckpt"))
+        refined = runner.refined_poses()
+        assert refined.shape == (3, 4, 4)
+        # Rotations stay orthonormal after refinement.
+        rtr = refined[:, :3, :3] @ refined[:, :3, :3].transpose(0, 2, 1)
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (3, 1, 1)),
+                                   atol=1e-4)

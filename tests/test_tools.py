@@ -1,0 +1,200 @@
+"""Tests for offline tools: COLMAP reader/converter, LLFF loader, pose
+utilities, schedules, plots, profiling hooks."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+class TestColmap:
+    def _write_binary_model(self, model_dir):
+        os.makedirs(model_dir, exist_ok=True)
+        # cameras.bin: one PINHOLE camera.
+        with open(os.path.join(model_dir, "cameras.bin"), "wb") as f:
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+            f.write(struct.pack("<4d", 500.0, 480.0, 320.0, 240.0))
+        # images.bin: two images.
+        with open(os.path.join(model_dir, "images.bin"), "wb") as f:
+            f.write(struct.pack("<Q", 2))
+            for i, name in ((2, b"b.jpg"), (1, b"a.jpg")):
+                f.write(struct.pack("<i", i))
+                f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))
+                f.write(struct.pack("<3d", 0.1 * i, 0.2, 0.3))
+                f.write(struct.pack("<i", 1))
+                f.write(name + b"\x00")
+                f.write(struct.pack("<Q", 2))           # 2 points2D
+                f.write(struct.pack("<2d q 2d q", 1.0, 2.0, -1, 3.0, 4.0,
+                                    -1))
+        return model_dir
+
+    def test_binary_roundtrip_and_idr_conversion(self, tmp_path):
+        from vf_nerf_tpu.datasets.helpers.colmap import (
+            colmap_to_idr_cameras, read_model)
+        model_dir = self._write_binary_model(os.path.join(str(tmp_path),
+                                                          "sparse"))
+        cameras, images = read_model(model_dir)
+        assert cameras[1].model == "PINHOLE"
+        assert cameras[1].intrinsic_matrix()[0, 0] == 500.0
+        assert images[1].name == "a.jpg"
+
+        out = os.path.join(str(tmp_path), "cams.npz")
+        payload = colmap_to_idr_cameras(model_dir, out)
+        assert set(payload) == {"world_mat_0", "world_mat_1"}
+        # Identity rotation, so world_mat = K @ [I | t].
+        k = cameras[1].intrinsic_matrix()
+        expected = k @ np.concatenate([np.eye(3),
+                                       np.array([[0.1], [0.2], [0.3]])],
+                                      axis=1)
+        np.testing.assert_allclose(payload["world_mat_0"][:3], expected,
+                                   atol=1e-8)
+
+    def test_text_model(self, tmp_path):
+        from vf_nerf_tpu.datasets.helpers.colmap import read_model
+        d = os.path.join(str(tmp_path), "sparse_txt")
+        os.makedirs(d)
+        with open(os.path.join(d, "cameras.txt"), "w") as f:
+            f.write("# comment\n1 SIMPLE_PINHOLE 640 480 500 320 240\n")
+        with open(os.path.join(d, "images.txt"), "w") as f:
+            f.write("1 1 0 0 0 0.5 0.6 0.7 1 img.jpg\n")
+            f.write("1.0 2.0 -1\n")
+        cameras, images = read_model(d)
+        assert cameras[1].model == "SIMPLE_PINHOLE"
+        np.testing.assert_allclose(images[1].tvec, [0.5, 0.6, 0.7])
+
+
+class TestLLFF:
+    def test_load(self, tmp_path):
+        from PIL import Image
+
+        from vf_nerf_tpu.datasets.helpers.llff import load_llff_data
+        base = str(tmp_path)
+        os.makedirs(os.path.join(base, "images"))
+        n, h, w = 3, 16, 24
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(base, "images", f"img{i}.png"))
+        poses = np.tile(np.eye(4)[:3, :4], (n, 1, 1))
+        poses[:, :3, 3] = rng.randn(n, 3) * 0.1
+        hwf = np.tile(np.array([h, w, 50.0]), (n, 1))
+        rows = np.concatenate([
+            np.concatenate([poses, hwf[:, :, None]], axis=2).reshape(n, 15),
+            np.tile([1.0, 5.0], (n, 1))], axis=1)
+        np.save(os.path.join(base, "poses_bounds.npy"), rows)
+
+        images, poses_hwf, bounds, scale = load_llff_data(base)
+        assert images.shape == (n, h, w, 3)
+        assert poses_hwf.shape == (n, 3, 5)
+        assert bounds.shape == (n, 2)
+        assert np.isfinite(scale)
+
+
+class TestPosesUtils:
+    def test_recenter(self):
+        from vf_nerf_tpu.datasets.helpers.poses_utils import (average_pose,
+                                                              recenter_poses)
+        rng = np.random.RandomState(0)
+        from scipy.spatial.transform import Rotation
+        poses = np.tile(np.eye(4)[:3], (5, 1, 1))
+        poses[:, :3, :3] = Rotation.random(5, random_state=1).as_matrix()
+        poses[:, :3, 3] = rng.randn(5, 3)
+        recentered = recenter_poses(poses)
+        avg = average_pose(recentered)
+        np.testing.assert_allclose(avg[:, 3], 0.0, atol=1e-6)
+        np.testing.assert_allclose(avg[:, :3], np.eye(3), atol=1e-5)
+
+    def test_sphere_poses_look_at_center(self):
+        from vf_nerf_tpu.datasets.helpers.poses_utils import sphere_poses
+        poses = sphere_poses(8, radius=2.0)
+        positions = poses[:, :3, 3]
+        np.testing.assert_allclose(np.linalg.norm(positions, axis=1), 2.0,
+                                   rtol=1e-5)
+        # z column (back direction) should point away from the center.
+        dots = np.sum(poses[:, :3, 2] * positions, axis=1)
+        assert (dots > 0).all()
+
+    def test_spherify(self):
+        from vf_nerf_tpu.datasets.helpers.poses_utils import (sphere_poses,
+                                                              spherify_poses)
+        poses = sphere_poses(6, radius=3.0)[:, :3, :4]
+        out, scale = spherify_poses(poses)
+        d = np.linalg.norm(out[:, :3, 3], axis=1)
+        np.testing.assert_allclose(d.mean(), 1.0, rtol=1e-4)
+
+
+class TestSchedules:
+    def test_parity_with_reference_formulas(self):
+        from vf_nerf_tpu.utils.schedules import (
+            ConstantLearningRateSchedule, ExponentialRateSchedule,
+            StepLearningRateSchedule)
+        c = ConstantLearningRateSchedule(0.1)
+        assert c.get_learning_rate(100) == 0.1
+        s = StepLearningRateSchedule(0.1, frequency=10, decay_rate=0.5)
+        assert s.get_learning_rate(25) == pytest.approx(0.1 * 0.5 ** 2)
+        e = ExponentialRateSchedule(0.1, decay_rate=0.9)
+        assert e.get_learning_rate(3) == pytest.approx(0.1 * 0.9 ** 3)
+        # optax equivalents agree
+        assert float(s.as_optax()(25)) == pytest.approx(
+            s.get_learning_rate(25))
+        assert float(e.as_optax()(3)) == pytest.approx(
+            e.get_learning_rate(3), rel=1e-5)
+
+    def test_parameter_annealing(self):
+        from vf_nerf_tpu.ops.annealing import parameter_linear_annealing
+        assert parameter_linear_annealing(1.0, 0.0, 10, 0) == 1.0
+        assert parameter_linear_annealing(1.0, 0.0, 10, 5) == 0.5
+        assert parameter_linear_annealing(1.0, 0.0, 10, 20) == 0.0
+
+
+class TestExtras:
+    def test_cosine_losses(self):
+        import jax.numpy as jnp
+
+        from vf_nerf_tpu.models.loss import cosine_losses
+        cos = jnp.asarray(np.linspace(-1, 1, 20)[None].repeat(3, 0))
+        weights = jnp.zeros((3, 21)).at[:, 10].set(1.0)
+        min_t, max_t = cosine_losses(cos, weights)
+        assert np.isfinite(float(min_t)) and np.isfinite(float(max_t))
+
+    def test_similarity_loss(self):
+        import jax.numpy as jnp
+
+        from vf_nerf_tpu.models.loss import similarity_loss
+        # Opposing vectors that do NOT point at each other → penalized.
+        x1 = jnp.asarray([[0.0, 0, 0]] * 4)
+        x2 = jnp.asarray([[1.0, 0, 0]] * 4)
+        v1 = jnp.asarray([[0.0, 1, 0]] * 4)
+        v2 = jnp.asarray([[0.0, -1, 0]] * 4)
+        loss = float(similarity_loss(x1, x2, v1, v2))
+        assert loss > 0
+        # Vectors pointing at each other → consistent, loss 0.
+        v1b = jnp.asarray([[1.0, 0, 0]] * 4)
+        v2b = jnp.asarray([[-1.0, 0, 0]] * 4)
+        assert float(similarity_loss(x1, x2, v1b, v2b)) == pytest.approx(
+            0.0, abs=1e-5)
+
+    def test_profiling_helpers(self):
+        from vf_nerf_tpu.utils.profiling import StepTimer, trace
+        t = StepTimer()
+        t.tick()
+        t.tick()
+        assert t.seconds_per_step() >= 0
+        assert np.isfinite(t.rays_per_sec(1024))
+        with trace(None):
+            pass
+
+    def test_plots_smoke(self, tmp_path):
+        from test_renderer import tiny_config
+        import jax
+
+        from vf_nerf_tpu.evaluation import plots
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+        model = VectorFieldNerf(tiny_config(), decay_steps=10)
+        plots.plot_overall_scene(model, str(tmp_path), scale=1.0,
+                                 centroid=np.zeros(3), n=10)
+        assert os.path.exists(os.path.join(str(tmp_path), "plots-overall",
+                                           "overall.png"))

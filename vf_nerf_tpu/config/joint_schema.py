@@ -1,0 +1,41 @@
+"""Joint pose-and-field optimization config.
+
+Reference: ``config_parser/joint_opt_config.py:9-29`` +
+``joint_opt_config_parser.py:13-65``. The reference ships the config contract
+and the facade support surface (``get_colors`` / ``get_weights_and_color`` /
+``get_dominant_bases``) but **no trainer** and no
+``confs/joint_optimization.conf`` (SURVEY.md C24); the stage itself is
+designed in ``train/joint_runner.py`` from this contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from vf_nerf_tpu.config.schema import VFRunnerConfig
+
+
+@dataclass
+class TrainConfig:
+    """Stage schedule (reference ``joint_opt_config.py:9-18``)."""
+
+    initial_training_epochs: int
+    supervised_vf_epochs: int
+    joint_epochs: int
+    supervise_every: int
+    supervision_epochs: int
+    refinement_init_lr: float = 1e-4
+    reset_scheduler: bool = False
+
+
+@dataclass
+class JointOptimizationConfig:
+    """Reference ``joint_opt_config.py:21-29``."""
+
+    vf_config: VFRunnerConfig
+    train_config: TrainConfig
+
+    save_frequency: int
+    num_bases: int
+    decimation: float
+    self_supervise: bool

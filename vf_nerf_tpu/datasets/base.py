@@ -124,13 +124,18 @@ class BaseDataset:
         uv = pixel_grid(*self.image_size)
         depth = self.depth_images[img_idx, pix_idx]
         far = depth * 1.25 if self.far_per_ray else np.zeros((0,), np.float32)
-        return DatasetOutput(
+        out = DatasetOutput(
             rgb=self.rgb_images[img_idx, pix_idx],
             uv=uv[pix_idx],
             intrinsics=np.broadcast_to(self.intrinsics,
                                        (len(pix_idx), 4, 4)).copy(),
             pose=self.poses[img_idx],
             depth=depth, far=far).to_dict()
+        # Per-ray source view — consumed by the joint pose-optimization
+        # stage to index its optimizable pose table (extra key; absent from
+        # the reference DatasetOutput contract).
+        out["view_idx"] = img_idx.astype(np.int32)
+        return out
 
     def _single_view_item(self, idx: int, rng) -> Dict[str, np.ndarray]:
         ppb = self._pixels_per_batch

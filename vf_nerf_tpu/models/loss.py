@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from vf_nerf_tpu.config.schema import VFLossConfig, VFLossWeights
@@ -108,3 +109,59 @@ def vf_loss(predictions: Dict[str, jnp.ndarray],
         "norm_smaller_than_one_loss": norm_hinge_loss,
         "directional_derivatives_loss": dir_deriv_loss,
     }
+
+
+def cosine_losses(cosine_similarity: jnp.ndarray,
+                  weights: jnp.ndarray,
+                  argmax_cap: int = 70
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Surface-crossing cosine losses (reference ``get_cosine_losses``,
+    ``models/helpers/functions.py:159-181``; an auxiliary objective the
+    reference defines but never wires in): minimize the cosine at each ray's
+    weight argmax, maximize it before the argmax. Rays with zero max weight
+    or argmax ≥ ``argmax_cap`` are excluded (the reference's hack at
+    ``:170``). Masked static-shape formulation.
+
+    :param cosine_similarity: (R, L).
+    :param weights: (R, S) compositing weights.
+    :return: (min_cosine_term, max_cosine_term).
+    """
+    maxs = jnp.max(weights, axis=1)
+    argmaxs = jnp.argmax(weights, axis=1)
+    real = (maxs > 0.0) & (argmaxs < argmax_cap)
+    rows = jnp.arange(cosine_similarity.shape[0])
+    at_max = cosine_similarity[rows, jnp.minimum(
+        argmaxs, cosine_similarity.shape[1] - 1)]
+    min_term = jnp.sum(jnp.where(real, at_max, 0.0)) / jnp.maximum(
+        jnp.sum(real), 1)
+
+    col = jnp.arange(cosine_similarity.shape[1])[None, :]
+    before = (col < argmaxs[:, None]) & real[:, None]
+    max_term = -jnp.sum(jnp.where(before, cosine_similarity, 0.0)) / \
+        jnp.maximum(jnp.sum(before), 1)
+    return min_term, max_term
+
+
+def similarity_loss(x1: jnp.ndarray, x2: jnp.ndarray,
+                    v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """Point-pair field-consistency loss (reference ``get_similarity_loss``,
+    ``models/helpers/functions.py:183-225``; unused extra kept for
+    capability parity, consumed by the joint-optimization stage): each point
+    should reach its partner by walking its field vector for the pair
+    distance; penalize failures for opposing pairs, masked static-shape."""
+    def _norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True),
+                               1e-8)
+
+    distance = jnp.linalg.norm(x2 - x1, axis=1, keepdims=True)
+    x1_est = x2 + _norm(v2) * distance
+    x2_est = x1 + _norm(v1) * distance
+    diff = jnp.linalg.norm(x1 - x1_est, axis=1) + \
+        jnp.linalg.norm(x2 - x2_est, axis=1)
+
+    cos = jnp.sum(_norm(v1) * _norm(v2), axis=1)
+    cos = jax.lax.stop_gradient(cos)
+    gate = (cos < 0.5) & (diff > 0.5 * jax.lax.stop_gradient(jnp.max(diff)))
+    count = jnp.sum(gate)
+    weighted = jnp.sum(jnp.where(gate, diff * (1.0 - cos), 0.0))
+    return jnp.where(count > 0, weighted / jnp.maximum(count, 1), 0.0)

@@ -52,6 +52,64 @@ def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+def rot_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices (N, 3, 3) → unit quaternions (N, 4) ``[w, x, y, z]``
+    (inverse of ``quat_to_rot``; needed to initialize optimizable 7-d poses
+    for the joint pose-field stage from dataset 4×4 poses).
+
+    Branchless Shepperd-style extraction: build all four candidate
+    quaternions and select by the largest diagonal-based magnitude.
+    """
+    m = rot
+    t = m[:, 0, 0] + m[:, 1, 1] + m[:, 2, 2]
+
+    def cand_w():
+        s = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 2
+        return jnp.stack([0.25 * s,
+                          (m[:, 2, 1] - m[:, 1, 2]) / s,
+                          (m[:, 0, 2] - m[:, 2, 0]) / s,
+                          (m[:, 1, 0] - m[:, 0, 1]) / s], axis=1)
+
+    def cand_x():
+        s = jnp.sqrt(jnp.maximum(1.0 + m[:, 0, 0] - m[:, 1, 1] -
+                                 m[:, 2, 2], 1e-12)) * 2
+        return jnp.stack([(m[:, 2, 1] - m[:, 1, 2]) / s,
+                          0.25 * s,
+                          (m[:, 0, 1] + m[:, 1, 0]) / s,
+                          (m[:, 0, 2] + m[:, 2, 0]) / s], axis=1)
+
+    def cand_y():
+        s = jnp.sqrt(jnp.maximum(1.0 - m[:, 0, 0] + m[:, 1, 1] -
+                                 m[:, 2, 2], 1e-12)) * 2
+        return jnp.stack([(m[:, 0, 2] - m[:, 2, 0]) / s,
+                          (m[:, 0, 1] + m[:, 1, 0]) / s,
+                          0.25 * s,
+                          (m[:, 1, 2] + m[:, 2, 1]) / s], axis=1)
+
+    def cand_z():
+        s = jnp.sqrt(jnp.maximum(1.0 - m[:, 0, 0] - m[:, 1, 1] +
+                                 m[:, 2, 2], 1e-12)) * 2
+        return jnp.stack([(m[:, 1, 0] - m[:, 0, 1]) / s,
+                          (m[:, 0, 2] + m[:, 2, 0]) / s,
+                          (m[:, 1, 2] + m[:, 2, 1]) / s,
+                          0.25 * s], axis=1)
+
+    cands = jnp.stack([cand_w(), cand_x(), cand_y(), cand_z()], axis=1)
+    scores = jnp.stack([t,
+                        m[:, 0, 0] - m[:, 1, 1] - m[:, 2, 2],
+                        m[:, 1, 1] - m[:, 0, 0] - m[:, 2, 2],
+                        m[:, 2, 2] - m[:, 0, 0] - m[:, 1, 1]], axis=1)
+    best = jnp.argmax(scores, axis=1)
+    q = cands[jnp.arange(rot.shape[0]), best]
+    return normalize(q, axis=1)
+
+
+def matrix_to_pose7(pose: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4, 4) c2w → (N, 7) ``[qw, qx, qy, qz, tx, ty, tz]``."""
+    q = rot_to_quat(pose[:, :3, :3])
+    return jnp.concatenate([q, pose[:, :3, 3]], axis=1)
+
+
 def pose7_to_matrix(pose: jnp.ndarray) -> jnp.ndarray:
     """(N, 7) quaternion+translation → (N, 4, 4) camera-to-world matrices.
 

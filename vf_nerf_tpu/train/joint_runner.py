@@ -1,0 +1,311 @@
+"""Joint pose-and-field optimization.
+
+The reference ships the config contract (``config_parser/joint_opt_config.py``)
+and the facade support surface — ``get_colors`` / ``get_weights_and_color``
+(``models/nerf/vector_field_nerf.py:341-440``), ``get_dominant_bases``
+(``utils/utils.py:216-233``), the 7-d quaternion pose path
+(``utils/rendering.py:27-33``) and the ``supervised_loss_weights`` block
+(``confs/vf_nerf.conf:103-113``) — but **no trainer** (SURVEY.md C24).
+This module designs the stage from that contract:
+
+- **pose refinement**: camera poses become optimizable 7-d
+  ``[quat | translation]`` parameters (initialized from the dataset via
+  ``matrix_to_pose7``); rays are rendered through the quaternion path so
+  gradients flow from the photometric/depth losses into the poses,
+- **supervised VF epochs**: every ``supervise_every`` joint epochs, the field
+  is sharpened toward the scene's dominant directions — surface points come
+  from backprojected sensor depth, targets are the field snapped to the
+  nearest dominant basis (``±b`` maximizing |v·b|); bases come from the
+  field itself at surface points (``self_supervise``) or from an extracted
+  mesh via ``get_dominant_bases``; off-surface samples between camera and
+  surface are supervised to point at their surface point (weights
+  ``surface`` / ``non_surface`` / ``supervision``),
+- the ``similarity`` weight drives the point-pair consistency loss
+  (``models/loss.py::similarity_loss``, reference ``functions.py:183-225``),
+- both phases run as jitted steps over the data mesh (rays sharded,
+  state replicated) like the main trainer.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vf_nerf_tpu.config.joint_schema import JointOptimizationConfig
+from vf_nerf_tpu.config.schema import VFSupervisedLossWeights
+from vf_nerf_tpu.datasets import dataset_dict
+from vf_nerf_tpu.models.loss import similarity_loss
+from vf_nerf_tpu.models.nerf import VectorFieldNerf
+from vf_nerf_tpu.models.renderer import render_rays
+from vf_nerf_tpu.ops.rays import matrix_to_pose7, normalize
+from vf_nerf_tpu.utils import checkpoint as ckpt_io
+from vf_nerf_tpu.utils import io as io_utils
+from vf_nerf_tpu.utils.logging import MetricsLogger
+
+
+def snap_to_bases(vectors: jnp.ndarray, bases: jnp.ndarray) -> jnp.ndarray:
+    """Nearest signed dominant basis per vector: ``±b`` maximizing |v·b|."""
+    dots = vectors @ bases.T                     # (N, B)
+    best = jnp.argmax(jnp.abs(dots), axis=1)
+    signs = jnp.sign(dots[jnp.arange(len(vectors)), best])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    return bases[best] * signs[:, None]
+
+
+class JointOptimizationRunner:
+    def __init__(self, config: JointOptimizationConfig) -> None:
+        self.config = config
+        vf_cfg = config.vf_config
+        np.random.seed(42)
+
+        self.dataset = dataset_dict[vf_cfg.dataset_config.dataset_name](
+            vf_cfg.dataset_config)
+        self.model = VectorFieldNerf(vf_cfg.vf_nerf_config, seed=42,
+                                     decay_steps=max(
+                                         config.train_config.joint_epochs *
+                                         len(self.dataset), 1))
+        near, far = self.dataset.get_bounds()
+        self.model.near, self.model.far = near, far
+        self.model.eval()
+
+        # Resume from the initial-training checkpoint when given.
+        self.run_dir = os.path.join(vf_cfg.exps_folder, vf_cfg.expname,
+                                    vf_cfg.timestamp or "joint")
+        self.ckpt_dir = os.path.join(self.run_dir, "checkpoints", "vf_nerf")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        if vf_cfg.checkpoint:
+            path = os.path.join(self.ckpt_dir, f"{vf_cfg.checkpoint}.ckpt")
+            if os.path.exists(path):
+                self.model.load(path)
+
+        # Optimizable 7-d poses, one per training view.
+        self.pose_params = np.asarray(
+            matrix_to_pose7(jnp.asarray(self.dataset.poses)))
+        self.weights: VFSupervisedLossWeights = vf_cfg.supervised_loss_weights
+
+        lr = config.train_config.refinement_init_lr
+        self.joint_tx = optax.adam(lr)
+        self.joint_opt_state = None  # built on first step (needs params)
+
+        self.logger = MetricsLogger(self.run_dir, vf_cfg.wandb_project,
+                                    vf_cfg.expname + "_joint",
+                                    vf_cfg.timestamp or "joint",
+                                    offline=vf_cfg.offline)
+        self._bases: Optional[np.ndarray] = None
+        self._step_cache: Dict[Any, Any] = {}
+
+    # ----------------------------------------------------------- bases
+    def dominant_bases(self, key: jax.Array) -> np.ndarray:
+        """Dominant scene directions (reference ``get_dominant_bases``).
+
+        ``self_supervise``: cluster the current field at surface points
+        (backprojected depth). Otherwise extract a mesh and cluster its face
+        normals via ``utils.geometry.get_dominant_bases``.
+        """
+        from scipy.cluster.vq import kmeans2
+        if not self.config.self_supervise:
+            from vf_nerf_tpu.evaluation.methods import marching_cubes_mesh
+            from vf_nerf_tpu.utils.geometry import get_dominant_bases
+            mesh_dir = os.path.join(self.run_dir, "joint-mesh")
+            marching_cubes_mesh(self.model, 128, mesh_dir, "joint",
+                                scale=self.dataset.scale, max_batch=100000,
+                                centroid=self.dataset.get_centroid())
+            return get_dominant_bases(
+                self.config.num_bases, self.config.decimation,
+                os.path.join(mesh_dir, "mesh-joint.ply"))
+
+        pts = self._surface_points(4096)
+        vf = np.asarray(self.model.get_vector_field(pts))
+        vf = vf / np.maximum(np.linalg.norm(vf, axis=1, keepdims=True), 1e-8)
+        centers, _ = kmeans2(vf.astype(np.float64), self.config.num_bases,
+                             minit="++", seed=0)
+        norms = np.maximum(np.linalg.norm(centers, axis=1, keepdims=True),
+                           1e-8)
+        return (centers / norms).astype(np.float32)
+
+    def _surface_points(self, n: int,
+                        rng: Optional[np.random.RandomState] = None
+                        ) -> np.ndarray:
+        """Backproject random sensor-depth pixels to world points."""
+        rng = rng or np.random.RandomState(0)
+        h, w = self.dataset.image_size
+        k = self.dataset.intrinsics
+        pts = []
+        per_view = max(n // len(self.dataset), 1)
+        for i in range(len(self.dataset)):
+            pix = rng.randint(0, h * w, per_view)
+            d = self.dataset.depth_images[i][pix, 0]
+            xs, ys = pix % w, pix // w
+            x_cam = (xs - k[0, 2]) / k[0, 0] * d
+            y_cam = (ys - k[1, 2]) / k[1, 1] * d
+            cam = np.stack([x_cam, y_cam, d, np.ones_like(d)], axis=1)
+            pts.append((self.dataset.poses[i] @ cam.T).T[:, :3])
+        return np.concatenate(pts).astype(np.float32)
+
+    # ------------------------------------------------------- joint step
+    def _joint_step_fn(self, statics):
+        modules = self.model.modules
+        weights = self.weights
+        depth_clamp = 0.5
+        tx = self.joint_tx
+
+        def step(params, opt_state, batch_stats, batch, key, near, far,
+                 window):
+            def loss_fn(p):
+                pose7 = p["poses"][batch["view_idx"]]
+                variables = {"params": p["model"],
+                             "batch_stats": batch_stats}
+                out = render_rays(modules, variables, batch["uv"], pose7,
+                                  batch["intrinsics"], near, far, window,
+                                  key, statics)
+                rgb_loss = jnp.mean(jnp.abs(out["rgb"] - batch["rgb"]))
+                depth_err = jnp.abs(out["depth"] - batch["depth"])
+                depth_loss = jnp.mean(jnp.minimum(depth_err, depth_clamp))
+                normals = out["normals"].reshape(-1, 3)
+                unit_norm = jnp.mean(
+                    (jnp.linalg.norm(normals, axis=1) - 1.0) ** 2)
+                # Point-pair field consistency on consecutive samples
+                # (weights.similarity; reference functions.py:183-225).
+                pts = out["points"]
+                n_half = pts.shape[1] // 2
+                sim = similarity_loss(
+                    pts[:, :n_half].reshape(-1, 3),
+                    pts[:, n_half:2 * n_half].reshape(-1, 3),
+                    out["normals"][:, :n_half].reshape(-1, 3),
+                    out["normals"][:, n_half:2 * n_half].reshape(-1, 3))
+                total = (weights.rgb * rgb_loss +
+                         weights.depth * depth_loss +
+                         weights.unit_norm * unit_norm +
+                         weights.similarity * sim)
+                return total, {"rgb_loss": rgb_loss,
+                               "depth_loss": depth_loss,
+                               "unit_norm_loss": unit_norm,
+                               "similarity_loss": sim}
+
+            (loss, parts), grads = jax.value_and_grad(loss_fn,
+                                                      has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            parts["loss"] = loss
+            return params, opt_state, parts
+
+        return jax.jit(step)
+
+    def _supervised_step_fn(self):
+        modules = self.model.modules
+        weights = self.weights
+        tx = self.joint_tx
+
+        def step(params, opt_state, batch_stats, surface_pts, surface_gt,
+                 off_pts, off_gt):
+            def loss_fn(p):
+                variables = {"params": p["model"],
+                             "batch_stats": batch_stats}
+                v_surf = modules.vf_apply(variables, surface_pts,
+                                          train=False)[:, :3]
+                v_off = modules.vf_apply(variables, off_pts,
+                                         train=False)[:, :3]
+                surf = jnp.mean((v_surf - surface_gt) ** 2)
+                off = jnp.mean((v_off - off_gt) ** 2)
+                total = weights.supervision * (
+                    weights.surface * surf + weights.non_surface * off)
+                return total, {"surface_loss": surf, "non_surface_loss": off}
+
+            (loss, parts), grads = jax.value_and_grad(loss_fn,
+                                                      has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            parts["loss"] = loss
+            return params, opt_state, parts
+
+        return jax.jit(step)
+
+    def _supervision_batch(self, rng: np.random.RandomState, n: int = 4096
+                           ) -> Tuple[np.ndarray, ...]:
+        """(surface points, snapped targets, off-surface points, targets)."""
+        surface = self._surface_points(n, rng)
+        vf = np.asarray(self.model.get_vector_field(surface))
+        vf_hat = vf / np.maximum(np.linalg.norm(vf, axis=1, keepdims=True),
+                                 1e-8)
+        snapped = np.asarray(snap_to_bases(jnp.asarray(vf_hat),
+                                           jnp.asarray(self._bases)))
+        # Off-surface: points pulled toward the camera side of the surface,
+        # supervised to point at their surface point.
+        t = rng.uniform(0.05, 0.5, (len(surface), 1)).astype(np.float32)
+        centroid = self.dataset.get_centroid()
+        off = surface + (centroid - surface) * t
+        direction = surface - off
+        off_gt = direction / np.maximum(
+            np.linalg.norm(direction, axis=1, keepdims=True), 1e-8)
+        return surface, snapped, off, off_gt.astype(np.float32)
+
+    # ------------------------------------------------------------ train
+    def train(self) -> Dict[str, float]:
+        cfg = self.config
+        tc = cfg.train_config
+        statics = self.model.render_statics(train=False)
+        joint_step = self._joint_step_fn(statics)
+        sup_step = self._supervised_step_fn()
+
+        params = {"model": self.model.state.params,
+                  "poses": jnp.asarray(self.pose_params)}
+        opt_state = self.joint_tx.init(params)
+        batch_stats = self.model.state.batch_stats
+        near = jnp.float32(self.model.near)
+        far = jnp.float32(self.model.far)
+        window = jnp.asarray(self.model.window_weights)
+        rng = np.random.RandomState(42)
+        key = jax.random.PRNGKey(7)
+
+        last: Dict[str, float] = {}
+        for epoch in range(tc.joint_epochs):
+            if (self.weights.supervision > 0 and tc.supervise_every > 0
+                    and epoch % tc.supervise_every == 0):
+                self._bases = self.dominant_bases(key)
+                for _ in range(tc.supervision_epochs):
+                    s_pts, s_gt, o_pts, o_gt = self._supervision_batch(rng)
+                    params, opt_state, parts = sup_step(
+                        params, opt_state, batch_stats,
+                        jnp.asarray(s_pts), jnp.asarray(s_gt),
+                        jnp.asarray(o_pts), jnp.asarray(o_gt))
+                    self._sync_model(params)
+
+            for batch in self.dataset.epoch_batches(rng):
+                key, sub = jax.random.split(key)
+                fed = {k: jnp.asarray(v) for k, v in batch.items()
+                       if np.asarray(v).size > 0}
+                params, opt_state, parts = joint_step(
+                    params, opt_state, batch_stats, fed, sub, near, far,
+                    window)
+            self._sync_model(params)
+            last = {k: float(v) for k, v in parts.items()}
+            self.logger.log(last, step=epoch)
+            if epoch % cfg.save_frequency == 0:
+                self.save(epoch, params)
+        self.save(tc.joint_epochs - 1, params)
+        return last
+
+    def _sync_model(self, params) -> None:
+        self.model.state = self.model.state.replace(params=params["model"])
+        self.pose_params = np.asarray(params["poses"])
+
+    def save(self, epoch: int, params) -> str:
+        """Checkpoint model + refined poses."""
+        return ckpt_io.save_checkpoint(
+            self.ckpt_dir, epoch,
+            {"params": params["model"],
+             "batch_stats": self.model.state.batch_stats,
+             "poses": params["poses"],
+             "epoch": epoch})
+
+    def refined_poses(self) -> np.ndarray:
+        """(V, 4, 4) refined camera-to-world matrices."""
+        from vf_nerf_tpu.ops.rays import pose7_to_matrix
+        return np.asarray(pose7_to_matrix(jnp.asarray(self.pose_params)))

@@ -42,6 +42,7 @@ from vf_nerf_tpu.parallel.train_step import (SupervisionStatics,
                                              make_train_step)
 from vf_nerf_tpu.utils import io as io_utils
 from vf_nerf_tpu.utils.logging import MetricsLogger
+from vf_nerf_tpu.utils.profiling import StepTimer, maybe_enable_nan_debugging
 
 SEED = 42  # reference utils/utils.py:157-167
 
@@ -97,6 +98,8 @@ class VectorFieldNerfRunner:
 
         self._step_cache: Dict[Any, Any] = {}
         self._epoch_rng = np.random.RandomState(SEED)
+        self._timer = StepTimer()
+        maybe_enable_nan_debugging()
 
     # ------------------------------------------------------------- folders
     def create_output_folders(self) -> None:
@@ -237,6 +240,7 @@ class VectorFieldNerfRunner:
         count = 0
         for batch in self.dataset.epoch_batches(self._epoch_rng):
             fed = self._feed(batch)
+            self._timer.tick()
             state, metrics = step(self.model.state, fed,
                                   self.model._next_key(), epoch_j,
                                   window_weights=window_j, near=near,
@@ -249,10 +253,13 @@ class VectorFieldNerfRunner:
                 for k, v in host.items():
                     sums[k] += v
             count += 1
+        self._timer.tick()
 
         averages = {k: v / count for k, v in (sums or {}).items()}
         averages.update(self.model.density_scalars())
         averages["learning_rate"] = self.model.current_lr()
         averages.update({f"w_{i}": float(w) for i, w in enumerate(window)})
+        averages["rays_per_sec"] = self._timer.rays_per_sec(
+            self._batch_rays())
         self.logger.log(averages, step=epoch)
         return averages.get("loss", float("nan"))
