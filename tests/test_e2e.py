@@ -168,3 +168,36 @@ class TestEndToEnd:
         assert "mean_psnr" in m and "image-0" in m
         # 3 epochs of a tiny net: just above the random floor (~6-8 dB).
         assert m["mean_psnr"] > 8.0
+
+    def test_mesh_eval_methods(self, workspace):
+        """Mesh-side eval dispatch on the trained tiny checkpoint:
+        marching-cubes-mesh, quadrant merge, tsdf-mesh, 3d-metrics, plots
+        (reference evaluate.py:54-149 artifact tree)."""
+        root, conf_path, exps = workspace
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.evaluation.evaluate import evaluate
+
+        os.environ["VFNERF_3D_METRIC_SAMPLES"] = "20000"
+        config = parse_config(scene="boxroom", config_path=conf_path,
+                              expname="synth", timestamp="test_run",
+                              checkpoint="latest", data_root_dir=root,
+                              offline=True)
+        evals = os.path.join(root, "evals")
+        common = dict(resolution=24, eval_root_folder=evals, chunk_size=64,
+                      distance_thresh=0.1, num_quadrants=8)
+        for method in ("marching-cubes-mesh", "quadrant-marching-cubes-mesh",
+                       "tsdf-mesh", "3d-metrics", "plot-overall-scene"):
+            evaluate(config, method=method, **common)
+
+        eval_dir = os.path.join(evals, "synth_boxroom", "test_run_latest")
+        for artifact in ("mesh/mesh-latest.ply",
+                         "mesh-smoothed/mesh-latest.ply",
+                         "merged-mesh/merged-mesh-latest.ply",
+                         "tsdf-mesh/tsdf.ply",
+                         "3d-metrics.json",
+                         "plots-overall/overall.png"):
+            assert os.path.exists(os.path.join(eval_dir, artifact)), artifact
+        with open(os.path.join(eval_dir, "3d-metrics.json")) as f:
+            metrics3d = json.load(f)
+        assert "tsdf" in metrics3d
+        assert "chamfer" in metrics3d["tsdf"] or "error" in metrics3d["tsdf"]

@@ -147,6 +147,38 @@ class TestRenderRays:
         out = _render(cfg2, modules, variables, batch, ds, n_fine=6)
         assert np.all(np.isfinite(np.asarray(out["rgb"])))
 
+    def test_fast_eval_paths_match_reference_path(self, setup):
+        """BN-folded fast path (and the coarse-reuse variant) must equal the
+        reference-shaped path numerically."""
+        from vf_nerf_tpu.models.renderer import RenderStatics
+        cfg, modules, variables, ds, batch = setup
+        near, far = ds.get_bounds()
+        weights = jnp.asarray(cfg.cos_sim_weights)
+        key = jax.random.PRNGKey(3)
+
+        def run(**kw):
+            statics = RenderStatics.from_config(cfg, n_fine=6, train=False)
+            statics = dataclasses.replace(statics, **kw)
+            from vf_nerf_tpu.models.renderer import render_rays
+            return render_rays(modules, variables, batch["uv"],
+                               batch["pose"], batch["intrinsics"],
+                               jnp.float32(near), jnp.float32(far), weights,
+                               key, statics)
+
+        slow = run(fast_eval=False)
+        folded = run(fast_eval=True, reuse_coarse=False)
+        reused = run(fast_eval=True, reuse_coarse=True)
+        for fast_out in (folded, reused):
+            np.testing.assert_allclose(np.asarray(fast_out["rgb"]),
+                                       np.asarray(slow["rgb"]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(fast_out["depth"]),
+                                       np.asarray(slow["depth"]),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(fast_out["z_vals"]),
+                                       np.asarray(slow["z_vals"]),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestGetDensity:
     """Oracle for the VF→σ glue (reference vector_field_nerf.py:442-474)."""

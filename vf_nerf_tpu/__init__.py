@@ -23,3 +23,14 @@ This package is a from-scratch re-design of the reference PyTorch codebase
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: full-size render/train graphs take
+# minutes to compile on the remote-compile TPU tunnel; cache them across
+# processes. Opt out with VFNERF_NO_COMPILE_CACHE=1.
+if not _os.environ.get("VFNERF_NO_COMPILE_CACHE"):
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           _os.path.expanduser("~/.cache/vf_nerf_tpu_xla"))
+    _os.environ.setdefault(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")

@@ -141,6 +141,13 @@ def tsdf_mesh(eval_path: str, dataset_config: DatasetConfig) -> None:
     save_ply(os.path.join(mesh_dir, "tsdf.ply"), verts, faces)
 
 
+def _metric_sample_count() -> int:
+    """Surface sample count for 3D metrics (reference: 2.5M KD-tree samples,
+    ``utils/utils.py:327-367``); override with VFNERF_3D_METRIC_SAMPLES for
+    quick runs/tests."""
+    return int(os.environ.get("VFNERF_3D_METRIC_SAMPLES", 2_500_000))
+
+
 def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
                distance_thresh: float = 0.05) -> Dict[str, Dict]:
     """Chamfer + P/R/F-score on the tsdf / smoothed / refused meshes →
@@ -169,7 +176,8 @@ def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
 
     gt_path = _gt_mesh_path(dataset_config)
     gt_verts, gt_faces = load_ply(gt_path)
-    gt_points = sample_surface(gt_verts, gt_faces, 2_500_000, seed=0)
+    n_samples = _metric_sample_count()
+    gt_points = sample_surface(gt_verts, gt_faces, n_samples, seed=0)
 
     results: Dict[str, Dict] = {}
     for name, (v, f) in {
@@ -179,7 +187,7 @@ def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
         if len(v) == 0:
             results[name] = {"error": "empty mesh"}
             continue
-        pred_points = sample_surface(v, f, 2_500_000, seed=0)
+        pred_points = sample_surface(v, f, n_samples, seed=0)
         acc, comp, chamfer = chamfer_distance(pred_points, gt_points)
         prf = precision_recall_fscore(pred_points, gt_points,
                                       distance_thresh)
@@ -204,8 +212,9 @@ def metrics_3d_no_vf(eval_path: str, checkpoint: str,
     mesh_path = os.path.join(eval_path, f"{checkpoint}.ply")
     verts, faces = load_ply(mesh_path)
     gt_verts, gt_faces = load_ply(_gt_mesh_path(dataset_config))
-    pred_points = sample_surface(verts, faces, 2_500_000, seed=0)
-    gt_points = sample_surface(gt_verts, gt_faces, 2_500_000, seed=0)
+    n_samples = _metric_sample_count()
+    pred_points = sample_surface(verts, faces, n_samples, seed=0)
+    gt_points = sample_surface(gt_verts, gt_faces, n_samples, seed=0)
     acc, comp, chamfer = chamfer_distance(pred_points, gt_points)
     prf = precision_recall_fscore(pred_points, gt_points, distance_thresh)
     results = {"baseline": {"chamfer": chamfer, "accuracy": acc,

@@ -162,11 +162,18 @@ class VectorFieldNerf:
                   jnp.asarray(self.far, jnp.float32),
                   jnp.asarray(self.window_weights), self._next_key())
 
+    @functools.lru_cache(maxsize=4)
+    def _jitted_vector_field(self, train: bool):
+        def fn(variables, points):
+            return render_vector_field(self.modules, variables, points,
+                                       train=train)
+        return jax.jit(fn)
+
     def get_vector_field(self, points) -> jnp.ndarray:
-        """Raw field at points (reference ``get_vector_field``, ``:380-403``)."""
-        return render_vector_field(self.modules, self.state.variables(),
-                                   jnp.asarray(points),
-                                   train=False)
+        """Raw field at points (reference ``get_vector_field``, ``:380-403``);
+        jitted + BN-folded — the mesh-extraction hot loop."""
+        return self._jitted_vector_field(False)(
+            self.state.variables(), jnp.asarray(points))
 
     def get_colors(self, pose, pixels, intrinsics,
                    epoch: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

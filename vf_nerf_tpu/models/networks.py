@@ -69,7 +69,12 @@ class WeightNormDense(nn.Module):
 
 
 class _MLPLayer(nn.Module):
-    """One linear(+BN) layer with reference init/normalization options."""
+    """One linear(+BN) layer with reference init/normalization options.
+
+    ``compute_dtype`` (e.g. bfloat16) sets the matmul/activation compute
+    precision — params stay float32 (flax mixed precision); on TPU this
+    halves the HBM activation traffic that dominates the MLP's runtime.
+    """
 
     features: int
     fan_in: int
@@ -77,6 +82,7 @@ class _MLPLayer(nn.Module):
     use_weight_norm: bool
     xavier_init: bool
     bias_init: float
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -90,12 +96,13 @@ class _MLPLayer(nn.Module):
                 kernel_init = torch_linear_init(self.fan_in)
                 bias_init = torch_linear_init(self.fan_in)
             x = nn.Dense(self.features, kernel_init=kernel_init,
-                         bias_init=bias_init)(x)
+                         bias_init=bias_init,
+                         dtype=self.compute_dtype)(x)
         if self.use_batch_norm:
             # torch BatchNorm1d defaults: eps=1e-5, momentum=0.1 (flax
             # momentum is the complement of torch's).
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(x)
+                             epsilon=1e-5, dtype=self.compute_dtype)(x)
         return x
 
 
@@ -106,6 +113,7 @@ class VectorFieldMLP(nn.Module):
     """
 
     config: VFNetConfig
+    compute_dtype: Optional[jnp.dtype] = None
 
     def _dimensions(self) -> List[int]:
         cfg = self.config
@@ -143,6 +151,7 @@ class VectorFieldMLP(nn.Module):
                           use_weight_norm=cfg.weight_norm,
                           xavier_init=cfg.xavier_init,
                           bias_init=cfg.bias_init,
+                          compute_dtype=self.compute_dtype,
                           name=f"layer_{i}")(x, train)
             if not is_last:
                 x = nn.relu(x)
@@ -151,7 +160,7 @@ class VectorFieldMLP(nn.Module):
                                    deterministic=not train)(x)
             else:
                 x = nn.tanh(x)
-        return x
+        return x.astype(points.dtype)
 
     def split_outputs(self, out: jnp.ndarray
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -223,6 +232,7 @@ class RenderingMLP(nn.Module):
     """
 
     config: RenderingNetConfig
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self,
@@ -258,7 +268,8 @@ class RenderingMLP(nn.Module):
                           use_weight_norm=cfg.weight_norm,
                           xavier_init=False,
                           bias_init=0.0,
+                          compute_dtype=self.compute_dtype,
                           name=f"layer_{i}")(x, train)
             if not is_last:
                 x = nn.relu(x)
-        return nn.sigmoid(x)
+        return nn.sigmoid(x).astype(points.dtype)

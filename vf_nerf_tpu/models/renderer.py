@@ -71,6 +71,15 @@ class RenderStatics:
     numerical_jacobian: bool
     white_background: bool
     train: bool                    # BatchNorm mode for both nets
+    # Eval-only fast path: fold BatchNorm into the dense weights. Ignored
+    # when ``train``.
+    fast_eval: bool = True
+    # With fast_eval, additionally reuse the coarse-pass VF outputs inside
+    # the fine pass instead of the reference's recompute
+    # (``vector_field_nerf.py:287-297``). Saves ~43% of the VF FLOPs but
+    # pays a large per-ray gather to re-sort samples — measured slower on
+    # v5e (gathers are expensive); off by default.
+    reuse_coarse: bool = False
 
     @staticmethod
     def from_config(cfg: VFNerfConfig, n_fine: int, train: bool,
@@ -99,12 +108,24 @@ class RenderStatics:
 
 
 class VFNerfModules:
-    """The two Flax module definitions, built once from config."""
+    """The two Flax module definitions, built once from config.
 
-    def __init__(self, cfg: VFNerfConfig) -> None:
+    ``compute_dtype="bfloat16"`` runs the MLP matmuls/activations in bf16
+    (params stay f32) — the TPU-native serving precision, roughly halving the
+    HBM activation traffic that bounds MLP throughput. Default float32 keeps
+    bit-level parity with the reference for training.
+    """
+
+    def __init__(self, cfg: VFNerfConfig,
+                 compute_dtype: Optional[str] = None) -> None:
         self.cfg = cfg
-        self.vf = VectorFieldMLP(cfg.vf_net_config)
-        self.render = RenderingMLP(cfg.rendering_net_config)
+        dtype = None
+        if compute_dtype not in (None, "", "float32"):
+            dtype = jnp.dtype(compute_dtype)
+        self.compute_dtype = dtype
+        self.vf = VectorFieldMLP(cfg.vf_net_config, compute_dtype=dtype)
+        self.render = RenderingMLP(cfg.rendering_net_config,
+                                   compute_dtype=dtype)
 
     def init_variables(self, key: jax.Array) -> Dict[str, Any]:
         """Initialize all network variables + density params as one pytree."""
@@ -139,6 +160,55 @@ class VFNerfModules:
             vars_["batch_stats"] = variables["batch_stats"]["render"]
         return self.render.apply(vars_, points, normals, view_dirs, feats,
                                  train=train)
+
+    # ---------------------------------------------- folded fast-eval path
+    def supports_folding(self) -> bool:
+        return not (self.cfg.vf_net_config.weight_norm or
+                    self.cfg.rendering_net_config.weight_norm)
+
+    def folded_weights(self, variables: Dict[str, Any]):
+        """Eval-mode BN folded into dense weights for both nets (see
+        ``ops/fused_mlp.fold_dense_bn``). Cheap elementwise work — safe to
+        run inside jit every call."""
+        from vf_nerf_tpu.ops.fused_mlp import fold_dense_bn
+        vf_w = fold_dense_bn(variables["params"]["vf"],
+                             variables["batch_stats"].get("vf"),
+                             n_layers=len(self.cfg.vf_net_config.dimensions)
+                             + 1)
+        rn_w = fold_dense_bn(variables["params"]["render"],
+                             variables["batch_stats"].get("render"),
+                             n_layers=len(
+                                 self.cfg.rendering_net_config.dimensions)
+                             + 1)
+        return vf_w, rn_w
+
+    def vf_apply_folded(self, vf_weights, points: jnp.ndarray) -> jnp.ndarray:
+        from vf_nerf_tpu.ops.embedding import positional_encoding
+        from vf_nerf_tpu.ops.fused_mlp import mlp_reference
+        cfg = self.cfg.vf_net_config
+        emb = positional_encoding(points, cfg.embedder_multires)
+        skip = (cfg.skip_connection_in or [None])[0]
+        return mlp_reference(vf_weights, emb, skip_at=skip,
+                             final_act="tanh")
+
+    def render_apply_folded(self, rn_weights, points, normals, view_dirs,
+                            feats) -> jnp.ndarray:
+        from vf_nerf_tpu.ops.embedding import positional_encoding
+        from vf_nerf_tpu.ops.fused_mlp import mlp_reference
+        cfg = self.cfg.rendering_net_config
+        if cfg.embedder_multires > 0:
+            view_dirs = positional_encoding(view_dirs, cfg.embedder_multires)
+        parts = [points]
+        if cfg.mode in ("idr", "no_normals"):
+            parts.append(view_dirs)
+        if cfg.mode in ("idr", "no_view_dir"):
+            parts.append(normals)
+        if feats is not None and feats.size > 0 and \
+                cfg.feature_vector_dims > 0:
+            parts.append(feats)
+        x = jnp.concatenate(parts, axis=-1)
+        return mlp_reference(rn_weights, x, skip_at=None,
+                             final_act="sigmoid")
 
 
 def get_density(normals: jnp.ndarray,
@@ -209,18 +279,40 @@ def render_rays(modules: VFNerfModules,
     directions, ray_dirs, cam_loc = get_ray_directions_and_cam_location(
         uv, pose, intrinsics)
 
+    fast = (statics.fast_eval and not statics.train and
+            not statics.compute_dir_derivatives and
+            modules.supports_folding())
+    if fast:
+        vf_w, rn_w = modules.folded_weights(variables)
+
     # ---- coarse pass (gradient-stopped; steers the fine sampler only) ------
     z_coarse = samplers.uniform_z_vals(k_coarse, n_rays, statics.n_coarse,
                                        near, far, perturb=statics.perturb)
     pts_coarse = samplers.points_from_z(cam_loc, directions, z_coarse)
+    feat_dim = modules.cfg.vf_net_config.feature_vector_dims
+    n_samples = statics.n_coarse + statics.n_fine
 
-    def _coarse(variables, pts_flat):
-        out = modules.vf_apply(variables, pts_flat, train=statics.train)
-        return out[:, :3]
+    reuse = fast and statics.reuse_coarse
+    if fast:
+        if reuse:
+            # Full VF outputs at the coarse depths — reused in the fine pass.
+            vf_out_coarse = modules.vf_apply_folded(
+                vf_w, pts_coarse.reshape(-1, 3))
+            normals_coarse = vf_out_coarse[:, :3].reshape(
+                n_rays, statics.n_coarse, 3)
+        else:
+            normals_coarse = modules.vf_apply_folded(
+                vf_w, pts_coarse.reshape(-1, 3))[:, :3].reshape(
+                    n_rays, statics.n_coarse, 3)
+    else:
+        def _coarse(variables, pts_flat):
+            out = modules.vf_apply(variables, pts_flat, train=statics.train)
+            return out[:, :3]
 
-    normals_coarse = jax.lax.stop_gradient(
-        _coarse(variables, pts_coarse.reshape(-1, 3))
-    ).reshape(n_rays, statics.n_coarse, 3)
+        normals_coarse = jax.lax.stop_gradient(
+            _coarse(variables, pts_coarse.reshape(-1, 3))
+        ).reshape(n_rays, statics.n_coarse, 3)
+
     dirs_coarse = jnp.repeat(ray_dirs[:, None, :], statics.n_coarse, axis=1)
     sigma_coarse = get_density(normals_coarse, dirs_coarse,
                                jax.tree_util.tree_map(
@@ -230,22 +322,48 @@ def render_rays(modules: VFNerfModules,
         _weights_from_density(z_coarse, sigma_coarse, statics))
 
     # ---- fine pass (the trained path) --------------------------------------
-    if statics.n_fine > 0:
-        z_vals = samplers.range_fine_z_vals(
-            k_fine, z_coarse, weights_coarse, statics.n_fine,
-            fine_range=modules.cfg.ray_sampler_config.fine_range,
-            near=near, far=far, perturb=statics.perturb)
+    fine_range = modules.cfg.ray_sampler_config.fine_range
+    if reuse:
+        if statics.n_fine > 0:
+            z_extra = samplers.range_fine_extra_z(
+                k_fine, z_coarse, weights_coarse, statics.n_fine,
+                fine_range=fine_range, near=near, far=far,
+                perturb=statics.perturb)
+            pts_extra = samplers.points_from_z(cam_loc, directions, z_extra)
+            vf_out_extra = modules.vf_apply_folded(
+                vf_w, pts_extra.reshape(-1, 3))
+            z_cat = jnp.concatenate([z_coarse, z_extra], axis=-1)
+            order = jnp.argsort(z_cat, axis=-1)
+            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
+            vf_cat = jnp.concatenate(
+                [vf_out_coarse.reshape(n_rays, statics.n_coarse, -1),
+                 vf_out_extra.reshape(n_rays, statics.n_fine, -1)], axis=1)
+            vf_out = jnp.take_along_axis(vf_cat, order[..., None],
+                                         axis=1).reshape(
+                                             n_rays * n_samples, -1)
+        else:
+            z_vals = z_coarse
+            vf_out = vf_out_coarse
+        points = samplers.points_from_z(cam_loc, directions, z_vals)
+        points_flat = points.reshape(-1, 3)
     else:
-        z_vals = z_coarse
+        if statics.n_fine > 0:
+            z_vals = samplers.range_fine_z_vals(
+                k_fine, z_coarse, weights_coarse, statics.n_fine,
+                fine_range=fine_range, near=near, far=far,
+                perturb=statics.perturb)
+        else:
+            z_vals = z_coarse
+        points = samplers.points_from_z(cam_loc, directions, z_vals)
+        points_flat = points.reshape(-1, 3)
+        if fast:
+            vf_out = modules.vf_apply_folded(vf_w, points_flat)
+        else:
+            vf_out = modules.vf_apply(variables, points_flat,
+                                      train=statics.train)
 
-    n_samples = statics.n_coarse + statics.n_fine
-    points = samplers.points_from_z(cam_loc, directions, z_vals)
-    points_flat = points.reshape(-1, 3)
     dirs_rep = jnp.repeat(ray_dirs[:, None, :], n_samples, axis=1)
     dirs_flat = dirs_rep.reshape(-1, 3)
-
-    vf_out = modules.vf_apply(variables, points_flat, train=statics.train)
-    feat_dim = modules.cfg.vf_net_config.feature_vector_dims
     normals_flat = vf_out[:, :3]
     feats_flat = vf_out[:, 3:3 + feat_dim]
     normals = normals_flat.reshape(n_rays, n_samples, 3)
@@ -254,9 +372,14 @@ def render_rays(modules: VFNerfModules,
                         statics, fine=True)
     weights = _weights_from_density(z_vals, sigma, statics)
 
-    rgb_samples = modules.render_apply(variables, points_flat, normals_flat,
-                                       dirs_flat, feats_flat,
-                                       train=statics.train)
+    if fast:
+        rgb_samples = modules.render_apply_folded(rn_w, points_flat,
+                                                  normals_flat, dirs_flat,
+                                                  feats_flat)
+    else:
+        rgb_samples = modules.render_apply(variables, points_flat,
+                                           normals_flat, dirs_flat,
+                                           feats_flat, train=statics.train)
     rgb_samples = rgb_samples.reshape(n_rays, n_samples, 3)
     rgb, depth = compositing.composite_rgb_depth(
         weights, rgb_samples, z_vals,
@@ -291,5 +414,9 @@ def render_vector_field(modules: VFNerfModules,
                         points: jnp.ndarray,
                         train: bool = False) -> jnp.ndarray:
     """Evaluate the raw vector field at arbitrary points — the mesh-extraction
-    entry (reference ``get_vector_field``/``mc_utils.get_set_predictions``)."""
+    entry (reference ``get_vector_field``/``mc_utils.get_set_predictions``).
+    Uses the BN-folded fast path at eval."""
+    if not train and modules.supports_folding():
+        vf_w, _ = modules.folded_weights(variables)
+        return modules.vf_apply_folded(vf_w, points)[:, :3]
     return modules.vf_apply(variables, points, train=train)[:, :3]

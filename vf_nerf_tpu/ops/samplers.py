@@ -73,24 +73,19 @@ def uniform_z_vals(key: jax.Array,
     return z_vals
 
 
-def range_fine_z_vals(key: jax.Array,
-                      coarse_z_vals: jnp.ndarray,
-                      coarse_weights: jnp.ndarray,
-                      n_fine: int,
-                      fine_range: float,
-                      near: float,
-                      far: float,
-                      perturb: bool = True) -> jnp.ndarray:
-    """Argmax-window fine sampling (reference ``RangeFineSampler.get_z_vals``,
-    ``ray_sampler.py:264-301``).
-
-    Returns (R, S_coarse + n_fine) sorted depths: the coarse depths plus —
-    per ray — either n_fine stratified depths in ``±fine_range`` around the
-    coarse-weight argmax (when the argmax is > 0) or n_fine uniform-random
-    depths over [near, far] (when the argmax is sample 0, i.e. the ray saw no
-    surface). The either/or select replaces the reference's two sorts + boolean
-    row assignment with one masked sort — same result, static shapes.
-    """
+def range_fine_extra_z(key: jax.Array,
+                       coarse_z_vals: jnp.ndarray,
+                       coarse_weights: jnp.ndarray,
+                       n_fine: int,
+                       fine_range: float,
+                       near: float,
+                       far: float,
+                       perturb: bool = True) -> jnp.ndarray:
+    """The *new* depths the range-fine sampler adds per ray (unsorted):
+    n_fine stratified depths in ``±fine_range`` around the coarse-weight
+    argmax when the argmax is > 0, else n_fine uniform-random depths over
+    [near, far] (reference ``RangeFineSampler.get_z_vals``,
+    ``ray_sampler.py:276-300``)."""
     k_strat, k_rand = jax.random.split(key)
     dtype = coarse_z_vals.dtype
     n_rays = coarse_z_vals.shape[0]
@@ -110,7 +105,27 @@ def range_fine_z_vals(key: jax.Array,
         * (far - near) + near
 
     use_window = (max_idx > 0)[:, None]
-    z_extra = jnp.where(use_window, z_window, z_random)
+    return jnp.where(use_window, z_window, z_random)
+
+
+def range_fine_z_vals(key: jax.Array,
+                      coarse_z_vals: jnp.ndarray,
+                      coarse_weights: jnp.ndarray,
+                      n_fine: int,
+                      fine_range: float,
+                      near: float,
+                      far: float,
+                      perturb: bool = True) -> jnp.ndarray:
+    """Argmax-window fine sampling (reference ``RangeFineSampler.get_z_vals``,
+    ``ray_sampler.py:264-301``).
+
+    Returns (R, S_coarse + n_fine) sorted depths: the coarse depths plus the
+    per-ray extras from ``range_fine_extra_z``. The either/or select replaces
+    the reference's two sorts + boolean row assignment with one masked
+    sort — same result, static shapes.
+    """
+    z_extra = range_fine_extra_z(key, coarse_z_vals, coarse_weights, n_fine,
+                                 fine_range, near, far, perturb)
     return jnp.sort(jnp.concatenate([coarse_z_vals, z_extra], axis=-1),
                     axis=-1)
 
