@@ -97,7 +97,12 @@ train {
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
+    import pickle
+
+    from vf_nerf_tpu.config.schema import VFNetConfig
     from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+    from vf_nerf_tpu.train.vf_init import fit_vf_init
+
     root = str(tmp_path_factory.mktemp("e2e"))
     ds = SyntheticBoxDataset(n_images=3, image_size=(12, 16),
                              pixels_per_batch=96)
@@ -106,6 +111,25 @@ def workspace(tmp_path_factory):
     exps = os.path.join(root, "exps_vf_nerf")
     with open(conf_path, "w") as f:
         f.write(TINY_CONF.replace("EXPS_PLACEHOLDER", exps))
+
+    # Regenerate the VF-init weights the runner looks for (the field needs
+    # surface crossings or — with the reference's effective −0.5 density
+    # cutoff — render gradients are dead; this is why the reference requires
+    # pretrained inits, SURVEY.md §3.5).
+    vf_cfg = VFNetConfig(input_dims=3, output_dims=3,
+                         dimensions=[32, 32, 32], feature_vector_dims=16,
+                         embedder_multires=4, weight_norm=False,
+                         batch_norm=True, skip_connection_in=[2],
+                         bias_init=0.0, dropout=False,
+                         dropout_probability=0.2, xavier_init=False, init="")
+    wall_radius = ds.max_depth * 1.25 / 2.0
+    params, stats = fit_vf_init(vf_cfg, "exterior_scene", np.zeros(3),
+                                sample_extent=1.5 * wall_radius,
+                                wall_radius=wall_radius, steps=300,
+                                batch=2048, seed=0)
+    with open(os.path.join(root, "Replica", "boxroom", "boxroom.pkl"),
+              "wb") as f:
+        pickle.dump({"params": params, "batch_stats": stats}, f)
     return root, conf_path, exps
 
 

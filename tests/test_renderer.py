@@ -224,12 +224,15 @@ class TestGetDensity:
         statics = RenderStatics.from_config(cfg, n_fine=6, train=False)
         # use a tighter threshold so the suppression branch activates
         statics = dataclasses.replace(statics, dir_to_normal_th=-0.2)
+        # the reference's effective cutoff is the Density.forward default
+        # −0.5, never the config value (quirk; density_functions.py:20-34)
+        assert statics.cutoff == -0.5
         ours = get_density(jnp.asarray(normals), jnp.asarray(ray_dirs),
                            init_density_params(params),
                            jnp.asarray(cfg.cos_sim_weights), statics,
                            fine=True)
         oracle = self._numpy_oracle(
-            normals, ray_dirs, cfg.cos_sim_weights, -0.2, cfg.density_config.cutoff,
+            normals, ray_dirs, cfg.cos_sim_weights, -0.2, -0.5,
             params, {"beta": cfg.density_config.beta_bounds,
                      "scale_min": cfg.density_config.scale_min,
                      "mean": cfg.density_config.mean_bounds})

@@ -24,10 +24,25 @@ LOSS_CONFIG = VFLossConfig(norm_smaller_than_one_start=11000,
                            directional_derivatives_start=100)
 
 
-def build(n_rays=32, n_fine=6, init_method="exterior_synthetic"):
+def build(n_rays=32, n_fine=6, init_method="exterior_synthetic",
+          init_field=False):
     cfg = tiny_config()
     modules = VFNerfModules(cfg)
     variables = modules.init_variables(jax.random.PRNGKey(0))
+    if init_field:
+        # A field with surface crossings: with the reference's effective
+        # −0.5 density cutoff, a smooth random field has cos≈1 everywhere →
+        # zero density → no render gradients (why the reference needs the
+        # VF-init pretraining).
+        from vf_nerf_tpu.train.vf_init import fit_vf_init
+        vf_params, vf_stats = fit_vf_init(cfg.vf_net_config,
+                                          "exterior_scene", np.zeros(3),
+                                          sample_extent=3.0,
+                                          wall_radius=2.0, steps=250,
+                                          batch=2048, seed=0)
+        variables = {
+            "params": {**variables["params"], "vf": vf_params},
+            "batch_stats": {**variables["batch_stats"], "vf": vf_stats}}
     optimizer, _ = make_optimizer(cfg.scheduler_config, decay_steps=1000)
     state = TrainState(params=variables["params"],
                        batch_stats=variables["batch_stats"],
@@ -104,7 +119,7 @@ class TestTrainStep:
             expected, rel=1e-5)
 
     def test_density_params_receive_gradients(self):
-        _, _, state, step, _, batch, args = build()
+        _, _, state, step, _, batch, args = build(init_field=True)
         before = jax.tree_util.tree_map(np.asarray, state.params["density"])
         for i in range(3):
             state, _ = step(state, batch, jax.random.PRNGKey(i),

@@ -100,6 +100,41 @@ def unify_direction(surface: np.ndarray, vt: np.ndarray,
     return (d_second < d_first).astype(np.int8)  # argmin of (d1, d2) stack
 
 
+def easy_convergence_points(vt_pairs: np.ndarray,
+                            point_pairs: np.ndarray,
+                            step: float) -> np.ndarray:
+    """Pair-convergence test (reference ``get_easy_convergence_points``,
+    ``mc_utils.py:8-31``; the ``alternative`` crossing criterion): a corner
+    pair crosses the surface when its field vectors oppose (dot ≤ −0.1) AND
+    walking each point one voxel step along its vector brings the pair
+    closer.
+
+    :param vt_pairs: (M, 28, 2, 3) field vectors at each pair's corners.
+    :param point_pairs: (M, 28, 2, 3) corner positions.
+    :param step: ``size / N`` voxel step.
+    :return: (M, 28) float crossing flags.
+    """
+    v1, v2 = vt_pairs[:, :, 0], vt_pairs[:, :, 1]
+    p1, p2 = point_pairs[:, :, 0], point_pairs[:, :, 1]
+    converging = (np.sum(v1 * v2, axis=-1) <= -0.1)
+
+    before = 2.0 * np.linalg.norm(p1 - p2, axis=-1)
+    n1 = p1 + v1 * step
+    n2 = p2 + v2 * step
+    after = np.linalg.norm(n1 - p2, axis=-1) + np.linalg.norm(p1 - n2,
+                                                              axis=-1)
+    return (converging & (after <= before)).astype(np.float32)
+
+
+def pair_corner_values(grid: np.ndarray,
+                       cells: np.ndarray) -> np.ndarray:
+    """grid (N, N, N, C) + cells (M, 3) → (M, 28, 2, C) values at the 28
+    corner pairs (reference ``get_grid_comb_div``,
+    ``marching_cubes_vt.py:370-419``; zero fill past the top face)."""
+    corners = _gather_corners(grid, cells)  # (M, 8, C)
+    return np.stack([corners[:, COMB_I], corners[:, COMB_J]], axis=2)
+
+
 def make_comb_format(choice: np.ndarray, norms: np.ndarray,
                      cells: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(M, 8) side labels + (N,N,N) norms grid → (M, 28) crossing flags and

@@ -64,13 +64,17 @@ def extract_vf_mesh(vf_fn: Callable[[np.ndarray], np.ndarray],
                     max_batch: int = 100000,
                     smooth_before: bool = False,
                     smooth_after: bool = False,
-                    world_coords: bool = True
+                    world_coords: bool = True,
+                    alternative: bool = False
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Full single-cube extraction (reference ``marching_cubes_mesh``).
 
     :param world_coords: True → vertices scaled/translated to world space
         (the reference's ``mesh-scaled-*.ply``); False → canonical cube
         coordinates (its ``mesh-*.ply``).
+    :param alternative: replace the side-assignment crossing flags with the
+        pair-convergence test (reference ``alternative=True`` path,
+        ``methods.py:229-245,268-270``; MeshUDF-style criterion).
     """
     res = resolution
     samples = sample_grid(res, scale, centroid, translation)
@@ -92,6 +96,13 @@ def extract_vf_mesh(vf_fn: Callable[[np.ndarray], np.ndarray],
 
     choice = field_ops.unify_direction(surface, vt, cells)
     comb_values, pair_norms = field_ops.make_comb_format(choice, norms, cells)
+
+    if alternative:
+        vt_pairs = field_ops.pair_corner_values(vt, cells)
+        pts_grid = samples.reshape(res, res, res, 3)
+        point_pairs = field_ops.pair_corner_values(pts_grid, cells)
+        comb_values = field_ops.easy_convergence_points(
+            vt_pairs, point_pairs, step=2.0 / res)
 
     has_crossing = comb_values.sum(axis=1) > 0
     cells = cells[has_crossing]

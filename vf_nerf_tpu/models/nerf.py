@@ -175,6 +175,14 @@ class VectorFieldNerf:
         return self._jitted_vector_field(False)(
             self.state.variables(), jnp.asarray(points))
 
+    def render_output(self, pose, pixels, intrinsics, epoch: int,
+                      white: bool = False):
+        """``render`` wrapped in the reference's ``NerfOutput`` contract
+        (``models/nerf/output.py:8-70``)."""
+        from vf_nerf_tpu.models.output import NerfOutput
+        return NerfOutput.from_render_dict(
+            self.render(pose, pixels, intrinsics, epoch, white))
+
     def get_colors(self, pose, pixels, intrinsics,
                    epoch: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Per-sample colors on the coarse grid (reference ``get_colors``,

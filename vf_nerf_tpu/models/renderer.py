@@ -84,9 +84,17 @@ class RenderStatics:
     @staticmethod
     def from_config(cfg: VFNerfConfig, n_fine: int, train: bool,
                     white_background: bool = False,
-                    compute_dir_derivatives: bool = False) -> "RenderStatics":
+                    compute_dir_derivatives: bool = False,
+                    use_config_cutoff: bool = False) -> "RenderStatics":
         rs = cfg.ray_sampler_config
         d = cfg.density_config
+        # QUIRK (reproduced): the reference facade passes the config cutoff
+        # to ``Density.__call__`` but ``Density.forward`` never forwards it
+        # to ``density_func`` (``density_functions.py:20-34``) — the
+        # effective truncation is always the default −0.5, regardless of the
+        # conf's ``cutoff = -2.0``. Set ``use_config_cutoff=True`` for the
+        # non-quirk behavior.
+        effective_cutoff = d.cutoff if use_config_cutoff else -0.5
         return RenderStatics(
             n_coarse=rs.n_samples,
             n_fine=min(n_fine, rs.max_samples) if n_fine > 0 else 0,
@@ -95,7 +103,7 @@ class RenderStatics:
             rendering=cfg.rendering,
             normalize_rendering=cfg.normalize_rendering,
             dir_to_normal_th=cfg.dir_to_normal_th,
-            cutoff=d.cutoff,
+            cutoff=effective_cutoff,
             beta_bounds=tuple(d.beta_bounds),
             scale_min=d.scale_min,
             mean_bounds=tuple(d.mean_bounds),

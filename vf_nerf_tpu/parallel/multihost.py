@@ -1,0 +1,59 @@
+"""Multi-host initialization and host-local data feeding.
+
+The reference has no multi-node story (``torch.distributed`` imported, never
+initialized — ``train/vector_field_nerf_train.py:10-11``, SURVEY.md §5.8).
+TPU-native multi-host is single-program SPMD: every host runs the same
+script, ``jax.distributed.initialize()`` wires the processes, the global
+mesh spans all chips, and each host feeds its local shard of the ray batch
+(``jax.make_array_from_process_local_data``). Cross-slice DCN is only
+involved if a mesh spans slices — out of scope for this model family.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vf_nerf_tpu.parallel.mesh import DATA_AXIS
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Wire up multi-process JAX (no-op for single-process runs).
+
+    In managed TPU environments the arguments are auto-detected; pass them
+    explicitly for manual clusters.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass  # single-process / no cluster env — run locally
+
+
+def global_mesh() -> Mesh:
+    """1-D data mesh over every chip of every host."""
+    return Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
+
+
+def feed_global_batch(mesh: Mesh,
+                      local_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Assemble a globally-sharded ray batch from each host's local slice.
+
+    Every host passes its own ``local_batch`` (rays it loaded); the returned
+    jax.Arrays are global views sharded on the ray axis across all hosts'
+    devices.
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in local_batch.items()}

@@ -96,3 +96,42 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference ``.pth`` checkpoint (torch required at call time)."""
     import torch
     return torch.load(path, map_location="cpu")
+
+
+def mlp_state_to_torch(params: Dict[str, Any],
+                       batch_stats: Dict[str, Any],
+                       n_layers: int,
+                       batch_norm: bool,
+                       weight_norm: bool) -> Dict[str, Any]:
+    """Inverse of ``mlp_state_from_torch``: Flax (params, batch_stats) → a
+    reference-layout torch state dict (used by parity tests to transplant
+    our weights into the reference nets, and for ``.pth`` export)."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x),
+                                                     dtype=np.float32))
+
+    state: Dict[str, Any] = {}
+    for i in range(n_layers):
+        scope = params[f"layer_{i}"]
+        has_bn = batch_norm and not weight_norm and i < n_layers - 1
+        if weight_norm:
+            wnd = scope["WeightNormDense_0"]
+            state[f"layers.{i}.weight_v"] = t(wnd["v"]).T
+            state[f"layers.{i}.weight_g"] = t(wnd["g"]).reshape(1)
+            state[f"layers.{i}.bias"] = t(wnd["bias"])
+        elif has_bn:
+            state[f"layers.{i}.0.weight"] = t(scope["Dense_0"]["kernel"]).T
+            state[f"layers.{i}.0.bias"] = t(scope["Dense_0"]["bias"])
+            state[f"layers.{i}.1.weight"] = t(scope["BatchNorm_0"]["scale"])
+            state[f"layers.{i}.1.bias"] = t(scope["BatchNorm_0"]["bias"])
+            stats = batch_stats[f"layer_{i}"]["BatchNorm_0"]
+            state[f"layers.{i}.1.running_mean"] = t(stats["mean"])
+            state[f"layers.{i}.1.running_var"] = t(stats["var"])
+            state[f"layers.{i}.1.num_batches_tracked"] = \
+                torch.zeros((), dtype=torch.long)
+        else:
+            state[f"layers.{i}.weight"] = t(scope["Dense_0"]["kernel"]).T
+            state[f"layers.{i}.bias"] = t(scope["Dense_0"]["bias"])
+    return state
