@@ -32,8 +32,22 @@ def build_step(n_rays):
     sup = SupervisionStatics.from_config(
         cfg, "exterior_synthetic", n_rays=n_rays,
         n_samples=statics.n_coarse + statics.n_fine, border_radius=0.15)
-    step = make_train_step(modules, optimizer, statics, sup, LOSS_WEIGHTS,
-                           LOSS_CONFIG)
+    raw_step = make_train_step(modules, optimizer, statics, sup,
+                               LOSS_WEIGHTS, LOSS_CONFIG)
+
+    def step(state, batch, key, epoch, **kw):
+        from vf_nerf_tpu.parallel.train_step import zero_metric_sums
+        import jax as _jax
+        sums = zero_metric_sums()
+        # match the state's sharding so donation works on a mesh
+        first = _jax.tree_util.tree_leaves(state)[0]
+        if hasattr(first, "sharding"):
+            sums = _jax.tree_util.tree_map(
+                lambda x: _jax.device_put(x, _jax.tree_util.tree_leaves(
+                    state)[0].sharding), sums)
+        new_state, out = raw_step(state, sums, batch, key, epoch, **kw)
+        return new_state, out
+
     return cfg, state, step
 
 
@@ -64,7 +78,8 @@ class TestShardedStep:
         assert float(metrics_a["loss"]) == pytest.approx(
             float(metrics_b["loss"]), rel=1e-5)
         diffs = jax.tree_util.tree_map(
-            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            lambda a, b: float(np.max(np.abs(np.asarray(a) -
+                                             np.asarray(b)))),
             state_a.params, state_b.params)
         max_diff = max(jax.tree_util.tree_leaves(diffs))
         assert max_diff < 1e-5

@@ -53,8 +53,16 @@ def build(n_rays=32, n_fine=6, init_method="exterior_synthetic",
     sup = SupervisionStatics.from_config(
         cfg, init_method, n_rays=n_rays,
         n_samples=statics.n_coarse + statics.n_fine, border_radius=0.15)
-    step = make_train_step(modules, optimizer, statics, sup, LOSS_WEIGHTS,
-                           LOSS_CONFIG)
+    raw_step = make_train_step(modules, optimizer, statics, sup,
+                               LOSS_WEIGHTS, LOSS_CONFIG)
+
+    def step(state, batch, key, epoch, **kw):
+        """Single-step wrapper: fresh sums per call → per-step metrics."""
+        from vf_nerf_tpu.parallel.train_step import zero_metric_sums
+        new_state, sums = raw_step(state, zero_metric_sums(), batch, key,
+                                   epoch, **kw)
+        return new_state, sums
+
     near, far = ds.get_bounds()
     args = dict(window_weights=jnp.asarray(cfg.cos_sim_weights),
                 near=jnp.float32(near), far=jnp.float32(far),

@@ -1,0 +1,114 @@
+"""Full-size TPU smoke run: train a few epochs + eval on the real chip.
+
+Exports a synthetic box scene at a realistic image size, regenerates VF-init
+weights, trains the full 256-wide config (100 coarse + 30 fine samples,
+1024-ray batches) for a few epochs on the TPU, then runs render-images +
+metrics. Validates the production path end-to-end on hardware (the test
+suite runs on a virtual CPU mesh).
+
+Usage: python tools/tpu_smoke.py [--epochs 3] [--workdir /tmp/vf_smoke]
+"""
+
+import argparse
+import json
+import os
+import pickle
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--workdir", type=str, default="/tmp/vf_smoke")
+    parser.add_argument("--images", type=int, default=6)
+    parser.add_argument("--size", type=int, nargs=2, default=[96, 128])
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from vf_nerf_tpu.config.parser import parse_config
+    from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+    from vf_nerf_tpu.evaluation.evaluate import evaluate
+    from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+    from vf_nerf_tpu.train.vf_init import default_vf_config, fit_vf_init
+
+    if os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir)
+
+    print("== exporting synthetic scene ==", flush=True)
+    ds = SyntheticBoxDataset(n_images=args.images,
+                             image_size=tuple(args.size),
+                             pixels_per_batch=1024)
+    ds.export_replica_format(args.workdir, scene="boxroom")
+
+    # Patch a run conf: full nets, short run.
+    conf_src = os.path.join(REPO, "confs", "vf_nerf.conf")
+    conf_path = os.path.join(args.workdir, "run.conf")
+    exps = os.path.join(args.workdir, "exps_vf_nerf")
+    with open(conf_src) as f:
+        conf = f.read()
+    conf = conf.replace("num_epochs = 3001", f"num_epochs = {args.epochs}")
+    conf = conf.replace("save_frequency = 100", "save_frequency = 1")
+    conf = conf.replace('exps_folder = "./exps_vf_nerf"',
+                        f'exps_folder = "{exps}"')
+    conf = conf.replace("factor = 20", "factor = 1") \
+        if "factor" in conf else conf
+    # the default conf has no dataset.factor line; add one
+    conf = conf.replace('data_dir = "Replica"',
+                        'data_dir = "Replica"\n    factor = 1')
+    with open(conf_path, "w") as f:
+        f.write(conf)
+
+    print("== fitting VF init (full net) ==", flush=True)
+    wall_radius = ds.max_depth * 1.25 / 2.0
+    t0 = time.perf_counter()
+    params, stats = fit_vf_init(default_vf_config(), "exterior_scene",
+                                np.zeros(3),
+                                sample_extent=1.5 * wall_radius,
+                                wall_radius=wall_radius, steps=800,
+                                batch=8192, seed=0)
+    print(f"   vf_init took {time.perf_counter() - t0:.1f}s", flush=True)
+    with open(os.path.join(args.workdir, "Replica", "boxroom",
+                           "boxroom.pkl"), "wb") as f:
+        pickle.dump({"params": params, "batch_stats": stats}, f)
+
+    print("== training ==", flush=True)
+    config = parse_config(scene="boxroom", config_path=conf_path,
+                          expname="smoke", timestamp="tpu",
+                          data_root_dir=args.workdir, offline=True)
+    runner = VectorFieldNerfRunner(config)
+    t0 = time.perf_counter()
+    runner.train()
+    train_s = time.perf_counter() - t0
+    steps = args.epochs * len(runner.dataset)
+    rays = steps * runner._batch_rays()
+    print(f"   {steps} steps in {train_s:.1f}s → "
+          f"{rays / train_s:.0f} train rays/s (incl. compiles)", flush=True)
+
+    print("== eval: render-images + metrics ==", flush=True)
+    config2 = parse_config(scene="boxroom", config_path=conf_path,
+                           expname="smoke", timestamp="tpu",
+                           checkpoint="latest", data_root_dir=args.workdir,
+                           offline=True)
+    t0 = time.perf_counter()
+    evaluate(config2, method="metrics", resolution=64,
+             eval_root_folder=os.path.join(args.workdir, "evals"),
+             chunk_size=1024, distance_thresh=0.05, num_quadrants=8)
+    print(f"   eval took {time.perf_counter() - t0:.1f}s", flush=True)
+
+    with open(os.path.join(args.workdir, "evals", "smoke_boxroom",
+                           "tpu_latest", "metrics.json")) as f:
+        metrics = json.load(f)
+    print(json.dumps({"epochs": args.epochs,
+                      "train_rays_per_sec": rays / train_s,
+                      "mean_psnr": metrics["mean_psnr"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,16 @@ def _supervision_terms(modules: VFNerfModules,
     return terms
 
 
+METRIC_KEYS = ("loss", "rgb_loss", "depth_loss", "unit_norm_loss",
+               "supervision_loss", "norm_smaller_than_one_loss",
+               "directional_derivatives_loss")
+
+
+def zero_metric_sums() -> Dict[str, jnp.ndarray]:
+    """Initial on-device metric accumulator for one epoch."""
+    return {k: jnp.zeros((), jnp.float32) for k in METRIC_KEYS}
+
+
 def make_train_step(modules: VFNerfModules,
                     optimizer: optax.GradientTransformation,
                     statics: RenderStatics,
@@ -113,18 +123,27 @@ def make_train_step(modules: VFNerfModules,
                     loss_weights: VFLossWeights,
                     loss_config: VFLossConfig
                     ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jitted train step. Donates the state buffer (in-place update
-    on device; no HBM copy of the full state per step)."""
+    """Build the jitted train step. Donates the state + metric-sum buffers
+    (in-place update on device; no HBM copy per step).
+
+    Remote-TPU-shaped: everything per-step happens inside the one compiled
+    call — the PRNG key is derived on device (``fold_in(base_key, step)``)
+    and the per-term metrics accumulate into a donated on-device sum tree —
+    so the host's per-step work is one dispatch plus the batch feed; scalars
+    are fetched once per epoch (host↔device round-trips through a
+    remote-attached TPU cost ~50-100 ms each)."""
 
     def step(state: TrainState,
+             metric_sums: Dict[str, jnp.ndarray],
              batch: Dict[str, jnp.ndarray],
-             key: jax.Array,
+             base_key: jax.Array,
              epoch: jnp.ndarray,
              window_weights: jnp.ndarray,
              near: jnp.ndarray,
              far: jnp.ndarray,
              centroid: jnp.ndarray
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        key = jax.random.fold_in(base_key, state.step)
         k_render, k_sup = jax.random.split(key)
 
         def loss_fn(params):
@@ -158,6 +177,7 @@ def make_train_step(modules: VFNerfModules,
                                   step=state.step + 1)
         metrics = dict(parts)
         metrics["loss"] = loss
-        return new_state, metrics
+        new_sums = {k: metric_sums[k] + metrics[k] for k in METRIC_KEYS}
+        return new_state, new_sums
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0, 1))

@@ -236,26 +236,29 @@ class VectorFieldNerfRunner:
         window_j = jnp.asarray(window)
         epoch_j = jnp.asarray(epoch, jnp.int32)
 
-        sums: Optional[Dict[str, float]] = None
+        # Per-step host work is one dispatch + the batch feed: the PRNG key
+        # derives on device from (base_key, state.step) and the metric sums
+        # accumulate in a donated on-device tree, fetched once per epoch
+        # (per-step scalar fetches serialize on the host↔device round-trip
+        # and dominate step time on remote-attached TPUs).
+        from vf_nerf_tpu.parallel.train_step import zero_metric_sums
+        base_key = self.model._next_key()
+        sums = zero_metric_sums()
+        if self.mesh is not None:
+            sums = mesh_lib.replicate_state(self.mesh, sums)
         count = 0
         for batch in self.dataset.epoch_batches(self._epoch_rng):
             fed = self._feed(batch)
             self._timer.tick()
-            state, metrics = step(self.model.state, fed,
-                                  self.model._next_key(), epoch_j,
-                                  window_weights=window_j, near=near,
-                                  far=far, centroid=centroid)
+            state, sums = step(self.model.state, sums, fed, base_key,
+                               epoch_j, window_weights=window_j, near=near,
+                               far=far, centroid=centroid)
             self.model.state = state
-            host = {k: float(v) for k, v in metrics.items()}
-            if sums is None:
-                sums = host
-            else:
-                for k, v in host.items():
-                    sums[k] += v
             count += 1
         self._timer.tick()
 
-        averages = {k: v / count for k, v in (sums or {}).items()}
+        host_sums = jax.device_get(sums)
+        averages = {k: float(v) / count for k, v in host_sums.items()}
         averages.update(self.model.density_scalars())
         averages["learning_rate"] = self.model.current_lr()
         averages.update({f"w_{i}": float(w) for i, w in enumerate(window)})
