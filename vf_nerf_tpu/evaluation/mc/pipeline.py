@@ -40,19 +40,32 @@ def sample_grid(resolution: int, scale: float, centroid: np.ndarray,
 
 
 def evaluate_vf_grid(vf_fn: Callable[[np.ndarray], np.ndarray],
-                     samples: np.ndarray, max_batch: int) -> np.ndarray:
+                     samples: np.ndarray, max_batch: int,
+                     inflight: int = 8) -> np.ndarray:
     """Chunked field evaluation (reference ``get_set_predictions``,
     ``mc_utils.py:88-104``); all chunks share one padded static shape so the
-    device kernel compiles once."""
+    device kernel compiles once, and up to ``inflight`` chunks stay in
+    flight before fetching (per-chunk host fetches serialize on the
+    round-trip latency of remote-attached TPUs)."""
     n = samples.shape[0]
     out = np.empty((n, 3), np.float32)
+    pending = []
+
+    def drain():
+        for head_, tail_, dev in pending:
+            out[head_:tail_] = np.asarray(dev)[:tail_ - head_]
+        pending.clear()
+
     for head in range(0, n, max_batch):
         tail = min(head + max_batch, n)
         chunk = samples[head:tail]
         pad = max_batch - (tail - head)
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
-        out[head:tail] = np.asarray(vf_fn(chunk))[:tail - head]
+        pending.append((head, tail, vf_fn(chunk)))
+        if len(pending) >= inflight:
+            drain()
+    drain()
     return out
 
 

@@ -54,6 +54,9 @@ def render_images(model: VectorFieldNerf,
         rgb_img = np.zeros((h, w, 3), np.float32)
         depth_img = np.zeros((h, w, 1), np.float32)
 
+        # Dispatch every chunk first, fetch once — host↔device round-trips
+        # per chunk dominate wall-clock on remote-attached TPUs.
+        pending = []
         for start in range(0, n_pixels, split_size):
             end = min(start + split_size, n_pixels)
             sl = slice(start, end)
@@ -66,12 +69,14 @@ def render_images(model: VectorFieldNerf,
                 pose = np.concatenate([pose, np.repeat(pose[-1:], pad, 0)])
                 intr = np.concatenate([intr, np.repeat(intr[-1:], pad, 0)])
             out = model.render(pose, uv, intr, epoch, dataset.white_bkgd)
-            rgb = np.asarray(out["rgb"])[:end - start]
-            depth = np.asarray(out["depth"])[:end - start]
+            pending.append((sl, end - start, out["rgb"], out["depth"]))
+
+        for sl, n_valid, rgb_dev, depth_dev in pending:
+            rgb, depth = jax.device_get((rgb_dev, depth_dev))
             xs = batch["uv"][sl, 0].astype(np.int64)
             ys = batch["uv"][sl, 1].astype(np.int64)
-            rgb_img[ys, xs] = rgb
-            depth_img[ys, xs] = depth
+            rgb_img[ys, xs] = rgb[:n_valid]
+            depth_img[ys, xs] = depth[:n_valid]
 
         io_utils.save_rgb(os.path.join(path, f"image-{i}.png"), rgb_img)
         io_utils.save_depth(os.path.join(path, f"depth-{i}"), depth_img[..., 0])

@@ -234,12 +234,15 @@ class VectorFieldNerf:
     # --------------------------------------------------------- density log
     def density_scalars(self) -> Dict[str, float]:
         """Clamped learned density params for logging (reference trainer
-        ``:286-288``)."""
+        ``:286-288``); one batched host fetch."""
         d: DensityParams = self.state.params["density"]
         dc = self.config.density_config
-        return {"beta": float(get_beta(d, tuple(dc.beta_bounds))),
-                "scale": float(get_scale(d, dc.scale_min)),
-                "mean": float(get_mean(d, tuple(dc.mean_bounds)))}
+        beta, scale, mean = jax.device_get(
+            (get_beta(d, tuple(dc.beta_bounds)),
+             get_scale(d, dc.scale_min),
+             get_mean(d, tuple(dc.mean_bounds))))
+        return {"beta": float(beta), "scale": float(scale),
+                "mean": float(mean)}
 
     def current_lr(self) -> float:
         return float(self.lr_schedule(int(self.state.step)))

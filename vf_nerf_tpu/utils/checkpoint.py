@@ -24,7 +24,10 @@ from flax import serialization
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # One batched device_get for the whole tree: fetching the ~200 state
+    # leaves individually pays a host↔device round-trip each (~60 ms on a
+    # remote-attached TPU → ~12 s per checkpoint).
+    return jax.device_get(tree)
 
 
 def save_checkpoint(path_dir: str, epoch: int, state: Dict[str, Any]) -> str:
