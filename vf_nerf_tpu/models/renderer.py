@@ -157,17 +157,55 @@ class VFNerfModules:
     def vf_apply(self, variables: Dict[str, Any], points: jnp.ndarray,
                  train: bool) -> jnp.ndarray:
         vars_ = {"params": variables["params"]["vf"]}
+        has_stats = bool(variables["batch_stats"].get("vf"))
+        if has_stats:
+            vars_["batch_stats"] = variables["batch_stats"]["vf"]
+        if train and has_stats:
+            # Train-mode BN normalizes with batch statistics; the running
+            # stats update is collected by vf_apply_mutable (the train step
+            # threads it) — here it is discarded.
+            out, _ = self.vf.apply(vars_, points, train=True,
+                                   mutable=["batch_stats"])
+            return out
+        return self.vf.apply(vars_, points, train=train)
+
+    def vf_apply_mutable(self, variables: Dict[str, Any],
+                         points: jnp.ndarray):
+        """Train-mode forward returning (out, new_batch_stats) — the running
+        -stat update path (reference BN momentum 0.1 per forward)."""
+        vars_ = {"params": variables["params"]["vf"]}
         if variables["batch_stats"].get("vf"):
             vars_["batch_stats"] = variables["batch_stats"]["vf"]
-        return self.vf.apply(vars_, points, train=train)
+            out, updates = self.vf.apply(vars_, points, train=True,
+                                         mutable=["batch_stats"])
+            return out, updates["batch_stats"]
+        return self.vf.apply(vars_, points, train=True), {}
 
     def render_apply(self, variables: Dict[str, Any], points, normals,
                      view_dirs, feats, train: bool) -> jnp.ndarray:
         vars_ = {"params": variables["params"]["render"]}
-        if variables["batch_stats"].get("render"):
+        has_stats = bool(variables["batch_stats"].get("render"))
+        if has_stats:
             vars_["batch_stats"] = variables["batch_stats"]["render"]
+        if train and has_stats:
+            out, _ = self.render.apply(vars_, points, normals, view_dirs,
+                                       feats, train=True,
+                                       mutable=["batch_stats"])
+            return out
         return self.render.apply(vars_, points, normals, view_dirs, feats,
                                  train=train)
+
+    def render_apply_mutable(self, variables: Dict[str, Any], points,
+                             normals, view_dirs, feats):
+        vars_ = {"params": variables["params"]["render"]}
+        if variables["batch_stats"].get("render"):
+            vars_["batch_stats"] = variables["batch_stats"]["render"]
+            out, updates = self.render.apply(vars_, points, normals,
+                                             view_dirs, feats, train=True,
+                                             mutable=["batch_stats"])
+            return out, updates["batch_stats"]
+        return self.render.apply(vars_, points, normals, view_dirs, feats,
+                                 train=True), {}
 
     # ---------------------------------------------- folded fast-eval path
     def supports_folding(self) -> bool:
@@ -364,8 +402,15 @@ def render_rays(modules: VFNerfModules,
             z_vals = z_coarse
         points = samplers.points_from_z(cam_loc, directions, z_vals)
         points_flat = points.reshape(-1, 3)
+        bn_updates: Dict[str, Any] = {}
         if fast:
             vf_out = modules.vf_apply_folded(vf_w, points_flat)
+        elif statics.train:
+            # Train-mode BN: the fine (primary) pass updates running stats.
+            vf_out, vf_stats = modules.vf_apply_mutable(variables,
+                                                        points_flat)
+            if vf_stats:
+                bn_updates["vf"] = vf_stats
         else:
             vf_out = modules.vf_apply(variables, points_flat,
                                       train=statics.train)
@@ -384,6 +429,11 @@ def render_rays(modules: VFNerfModules,
         rgb_samples = modules.render_apply_folded(rn_w, points_flat,
                                                   normals_flat, dirs_flat,
                                                   feats_flat)
+    elif statics.train:
+        rgb_samples, rn_stats = modules.render_apply_mutable(
+            variables, points_flat, normals_flat, dirs_flat, feats_flat)
+        if rn_stats:
+            bn_updates["render"] = rn_stats
     else:
         rgb_samples = modules.render_apply(variables, points_flat,
                                            normals_flat, dirs_flat,
@@ -402,6 +452,8 @@ def render_rays(modules: VFNerfModules,
         "weights": weights,
         "sample_colors": rgb_samples,
     }
+    if not fast and statics.train and bn_updates:
+        out["batch_stats_updates"] = bn_updates
 
     if statics.compute_dir_derivatives:
         def apply_fn(p):

@@ -165,15 +165,21 @@ def make_train_step(modules: VFNerfModules,
             ground_truth = {"rgb": batch["rgb"], "depth": batch.get("depth")}
             total, parts = vf_loss(predictions, ground_truth, terms,
                                    loss_weights, loss_config, epoch)
-            return total, parts
+            return total, (parts, out.get("batch_stats_updates"))
 
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (loss, (parts, bn_updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # Train-mode BN running-stat updates from the fine pass (reference
+        # BN momentum semantics; only present when statics.train).
+        new_batch_stats = state.batch_stats
+        if bn_updates:
+            new_batch_stats = {**state.batch_stats, **bn_updates}
         new_state = state.replace(params=new_params,
                                   opt_state=new_opt_state,
+                                  batch_stats=new_batch_stats,
                                   step=state.step + 1)
         metrics = dict(parts)
         metrics["loss"] = loss
