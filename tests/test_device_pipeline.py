@@ -1,0 +1,65 @@
+"""Device-resident MC pipeline vs the host pipeline (borderline divergence
+cells may flip at the f32/f64 threshold — compare as near-identical vertex
+sets, not bit-equal)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_mesh_stack import analytic_box_vf_fn
+from vf_nerf_tpu.evaluation.mc.device_pipeline import extract_vf_mesh_device
+from vf_nerf_tpu.evaluation.mc.pipeline import extract_vf_mesh
+
+
+def analytic_box_vf_jax(half=1.0):
+    def fn(p):
+        dist = half - jnp.abs(p)
+        inside = (dist > 0).all(axis=-1)
+        axis = jnp.argmin(dist, axis=-1)
+        rows = jnp.arange(p.shape[0])
+        sign = jnp.sign(p[rows, axis])
+        sign = jnp.where(sign == 0, 1.0, sign)
+        v_in = jnp.zeros_like(p).at[rows, axis].set(sign)
+        closest = jnp.clip(p, -half, half)
+        delta = closest - p
+        v_out = delta / jnp.maximum(
+            jnp.linalg.norm(delta, axis=-1, keepdims=True), 1e-8)
+        v = jnp.where(inside[:, None], v_in, v_out)
+        udf = jnp.where(jnp.min(dist, axis=-1) > 0,
+                        jnp.min(dist, axis=-1),
+                        jnp.linalg.norm(p - closest, axis=-1))
+        return v * jnp.maximum(udf, 1e-4)[:, None]
+    return fn
+
+
+def test_device_matches_host_pipeline():
+    from scipy.spatial import cKDTree
+    res = 32
+    v_host, f_host = extract_vf_mesh(
+        analytic_box_vf_fn(1.0), resolution=res, scale=1.5,
+        centroid=np.zeros(3), translation=np.zeros(3, np.float32),
+        max_batch=8192)
+    v_dev, f_dev = extract_vf_mesh_device(
+        analytic_box_vf_jax(1.0), resolution=res, scale=1.5,
+        centroid=np.zeros(3), translation=np.zeros(3, np.float32),
+        chunk=8192, cell_bucket=4096)
+    assert len(v_dev) > 0 and len(f_dev) > 0
+    # Vertex counts within 2% (borderline divergence-threshold cells).
+    assert abs(len(v_dev) - len(v_host)) < 0.02 * len(v_host)
+    # Every device vertex sits on (or within a voxel of) the host surface.
+    d = cKDTree(v_host).query(v_dev, k=1)[0]
+    voxel = 2 * 1.5 / (res - 1)
+    assert np.median(d) < 1e-5
+    assert d.max() < 2 * voxel
+
+
+def test_empty_field_yields_empty_mesh():
+    def constant_field(p):
+        return jnp.ones_like(p) / np.sqrt(3.0)
+    v, f = extract_vf_mesh_device(constant_field, resolution=16, scale=1.0,
+                                  centroid=np.zeros(3),
+                                  translation=np.zeros(3, np.float32),
+                                  chunk=4096, cell_bucket=1024)
+    assert len(v) == 0 and len(f) == 0

@@ -1,0 +1,199 @@
+"""Device-resident VF mesh-extraction pipeline.
+
+The host pipeline (``pipeline.extract_vf_mesh``) downloads the full field
+grid (~200 MB at res 256) for numpy field ops; on a remote-attached TPU the
+transfer alone dominates (~25 MB/s relay). This pipeline keeps everything on
+device and downloads only:
+
+- the surface-cell mask (res³ bool ≈ 17 MB at 256),
+- the signed corner values of the surface cells (M × 8 f32, ~10 MB).
+
+Stages (same math as ``field_ops``/``contrastive``, JAX versions):
+grid positions are *generated* on device (no upload), the field is evaluated
+chunk-wise under one jit, divergence → mask, then for the host-selected cells:
+corner gathers → most-opposed-pair side assignment → 28-comb crossing flags →
+signed corner values. Triangle emission + dedup stay on host (table lookups).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vf_nerf_tpu.evaluation.mc.contrastive import dedup_mesh, emit_triangles
+from vf_nerf_tpu.evaluation.mc.field_ops import FACE_AREA, SHAPE_VOLUME
+from vf_nerf_tpu.evaluation.mc.tables import (COMB_I, COMB_J, CORNER_COMB,
+                                              CORNER_LANE, CORNER_OFFSETS,
+                                              PAIR_TO_COMB)
+
+_CORNERS = jnp.asarray(CORNER_OFFSETS, jnp.int32)
+_COMB_I = jnp.asarray(COMB_I)
+_COMB_J = jnp.asarray(COMB_J)
+_PAIR_TO_COMB = jnp.asarray(PAIR_TO_COMB)
+_CORNER_COMB = jnp.asarray(CORNER_COMB)
+_CORNER_LANE = jnp.asarray(CORNER_LANE)
+
+
+def _grid_points(res: int, scale: float, offset: jnp.ndarray,
+                 flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Sample positions for flat grid indices (x slowest, reference order)."""
+    voxel = scale * 2.0 / (res - 1)
+    x = (flat_idx // (res * res)) % res
+    y = (flat_idx // res) % res
+    z = flat_idx % res
+    pts = jnp.stack([x, y, z], axis=-1).astype(jnp.float32) * voxel - scale
+    return pts + offset
+
+
+def build_field_grid(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
+                     res: int, scale: float, offset: jnp.ndarray,
+                     chunk: int = 1 << 20):
+    """Evaluate the field over the res³ grid on device.
+
+    :param vf_apply: jit-friendly (N, 3) → (N, 3) field function.
+    :return: (vt (res,res,res,3) unit field, norms (res,res,res)) device
+        arrays.
+    """
+    n = res ** 3
+    n_chunks = -(-n // chunk)
+
+    def eval_chunk(c):
+        idx = c * chunk + jnp.arange(chunk)
+        pts = _grid_points(res, scale, offset, idx)
+        return vf_apply(pts)
+
+    field = jax.lax.map(eval_chunk, jnp.arange(n_chunks))
+    field = field.reshape(n_chunks * chunk, 3)[:n]
+    norms = jnp.linalg.norm(field, axis=-1)
+    vt = field / jnp.maximum(norms[:, None], 1e-12)
+    return (vt.reshape(res, res, res, 3),
+            norms.reshape(res, res, res))
+
+
+def surface_mask(vt: jnp.ndarray, threshold: float = -0.5) -> jnp.ndarray:
+    """Divergence surface-cell mask (``field_ops.extract_divergence`` math,
+    f32, device)."""
+    n = vt.shape[0]
+    div = jnp.zeros((n - 1, n - 1, n - 1), jnp.float32)
+    for idx in range(8):
+        off = ((idx // 4) % 2, (idx // 2) % 2, idx % 2)
+        direction = np.array([2.0 * o - 1.0 for o in off], np.float32)
+        direction /= np.linalg.norm(direction)
+        corner = vt[off[0]:off[0] + n - 1,
+                    off[1]:off[1] + n - 1,
+                    off[2]:off[2] + n - 1]
+        d = corner @ jnp.asarray(direction)
+        div = div + d * jnp.abs(d) * FACE_AREA
+    div = div / SHAPE_VOLUME
+    mask = jnp.zeros((n, n, n), jnp.bool_)
+    return mask.at[:-1, :-1, :-1].set(div <= threshold)
+
+
+def cell_signed_values(vt: jnp.ndarray, norms: jnp.ndarray,
+                       cells: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device version of unify_direction → make_comb_format →
+    combs_to_vert_values for a padded batch of cells.
+
+    :param cells: (M, 3) int32 (padding rows may repeat a valid cell).
+    :return: (signed corner values (M, 8), any-crossing flags (M,)).
+    """
+    pad_width = [(0, 1)] * 3
+    vt_pad = jnp.pad(vt, pad_width + [(0, 0)])
+    norms_pad = jnp.pad(norms, pad_width)
+
+    idx = cells[:, None, :] + _CORNERS[None]          # (M, 8, 3)
+    corners = vt_pad[idx[..., 0], idx[..., 1], idx[..., 2]]       # (M, 8, 3)
+    corner_norms = norms_pad[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    dots = jnp.einsum("mac,mbc->mab", corners, corners)
+    flat = (1.0 - dots).reshape(-1, 64)
+    extreme = jnp.argmax(flat, axis=-1)
+    first = extreme // 8
+    second = extreme % 8
+    m = jnp.arange(cells.shape[0])
+    v_first = corners[m, first]
+    v_second = corners[m, second]
+    d_first = jnp.linalg.norm(corners - v_first[:, None], axis=-1)
+    d_second = jnp.linalg.norm(corners - v_second[:, None], axis=-1)
+    choice = (d_second < d_first)                      # (M, 8) bool
+
+    different = (choice[:, _COMB_I] != choice[:, _COMB_J])        # (M, 28)
+    comb_values = different.astype(jnp.float32)
+    has_crossing = comb_values.max(axis=1) > 0.5
+
+    anchor = jnp.argmax(comb_values, axis=1)
+    a0 = _COMB_I[anchor]
+    a1 = _COMB_J[anchor]
+    verts = jnp.arange(8)
+    c0 = comb_values[m[:, None], _PAIR_TO_COMB[verts[None, :], a0[:, None]]]
+    c1 = comb_values[m[:, None], _PAIR_TO_COMB[verts[None, :], a1[:, None]]]
+    side1 = c0 > c1
+    side1 = side1.at[m, a0].set(False)
+    side1 = side1.at[m, a1].set(True)
+
+    signed = jnp.where(side1, 1.0, -1.0) * corner_norms
+    signed = jnp.where(has_crossing[:, None], signed, 0.0)
+    return signed, has_crossing
+
+
+def extract_vf_mesh_device(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
+                           resolution: int,
+                           scale: float,
+                           centroid: np.ndarray,
+                           translation: np.ndarray,
+                           world_coords: bool = True,
+                           chunk: int = 1 << 20,
+                           cell_bucket: int = 1 << 16
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Device-resident equivalent of ``pipeline.extract_vf_mesh`` (no
+    smoothing variants; use the host pipeline for those)."""
+    offset = jnp.asarray(np.asarray(translation) + np.asarray(centroid),
+                         jnp.float32)
+
+    @jax.jit
+    def stage1(offset):
+        vt, norms = build_field_grid(vf_apply, resolution, scale, offset,
+                                     chunk)
+        return vt, norms, surface_mask(vt)
+
+    vt, norms, mask = stage1(offset)
+    mask_host = np.asarray(jax.device_get(mask))
+    cells = np.argwhere(mask_host).astype(np.int32)
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+
+    # Pad the cell count to a bucket so the gather kernel compiles once per
+    # bucket size.
+    signed_all = np.empty((len(cells), 8), np.float32)
+    crossing_all = np.empty((len(cells),), bool)
+    stage2 = jax.jit(cell_signed_values)
+    for start in range(0, len(cells), cell_bucket):
+        end = min(start + cell_bucket, len(cells))
+        block = cells[start:end]
+        pad = cell_bucket - (end - start)
+        if pad:
+            block = np.concatenate([block, np.repeat(block[-1:], pad, 0)])
+        signed, crossing = stage2(vt, norms, jnp.asarray(block))
+        signed_all[start:end] = np.asarray(signed)[:end - start]
+        crossing_all[start:end] = np.asarray(crossing)[:end - start]
+
+    cells = cells[crossing_all]
+    signed_all = signed_all[crossing_all]
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+
+    # Host: canonical node positions + table-based emission (reference
+    # canonical res+1-node grid; see contrastive.contrastive_marching_cubes).
+    node = (cells[:, None, :] + CORNER_OFFSETS[None]).astype(np.float64)
+    grid_verts = node / resolution * 2.0 - 1.0
+    triangles = emit_triangles(grid_verts, signed_all.astype(np.float64))
+    verts, faces = dedup_mesh(triangles)
+    if world_coords and len(verts):
+        verts = verts * scale + (np.asarray(translation) +
+                                 np.asarray(centroid)).astype(np.float32)
+    return verts, faces

@@ -247,17 +247,34 @@ def marching_cubes_mesh(model: VectorFieldNerf, resolution: int,
                         smooth_all: bool = False,
                         translation: Optional[np.ndarray] = None) -> tuple:
     """VF grid → contrastive marching cubes → ply
-    (reference ``methods.py:139-322``); see ``evaluation/mc``."""
+    (reference ``methods.py:139-322``); see ``evaluation/mc``.
+
+    The no-smoothing variant runs the device-resident pipeline (field grid,
+    divergence, corner classification all on-chip — only the surface mask
+    and signed corner values transfer); the Gaussian-smoothed variants use
+    the host pipeline."""
     from vf_nerf_tpu.evaluation.mc.pipeline import extract_vf_mesh
     from vf_nerf_tpu.utils.ply import save_ply
 
-    verts, faces = extract_vf_mesh(
-        lambda pts: np.asarray(model.get_vector_field(pts)),
-        resolution=resolution, scale=scale, centroid=np.asarray(centroid),
-        translation=(np.zeros(3, np.float32) if translation is None
-                     else translation),
-        max_batch=max_batch, smooth_before=smooth_all,
-        smooth_after=smooth_after)
+    translation = (np.zeros(3, np.float32) if translation is None
+                   else np.asarray(translation, np.float32))
+    if not (smooth_all or smooth_after):
+        from vf_nerf_tpu.evaluation.mc.device_pipeline import \
+            extract_vf_mesh_device
+        from vf_nerf_tpu.models.renderer import render_vector_field
+        modules, variables = model.modules, model.state.variables()
+        verts, faces = extract_vf_mesh_device(
+            lambda pts: render_vector_field(modules, variables, pts,
+                                            train=False),
+            resolution=resolution, scale=scale,
+            centroid=np.asarray(centroid), translation=translation)
+    else:
+        verts, faces = extract_vf_mesh(
+            lambda pts: np.asarray(model.get_vector_field(pts)),
+            resolution=resolution, scale=scale,
+            centroid=np.asarray(centroid), translation=translation,
+            max_batch=max_batch, smooth_before=smooth_all,
+            smooth_after=smooth_after)
     io_utils.mkdir_ifnotexists(mesh_path)
     save_ply(os.path.join(mesh_path, f"mesh-{checkpoint}.ply"), verts, faces)
     return verts, faces
