@@ -202,6 +202,15 @@ class TestEndToEnd:
         from vf_nerf_tpu.evaluation.evaluate import evaluate
 
         os.environ["VFNERF_3D_METRIC_SAMPLES"] = "20000"
+        # Self-sufficient when run in isolation: train the checkpoint first.
+        ckpt = os.path.join(exps, "synth_boxroom", "test_run", "checkpoints",
+                            "vf_nerf", "latest.ckpt")
+        if not os.path.exists(ckpt):
+            from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+            cfg0 = parse_config(scene="boxroom", config_path=conf_path,
+                                expname="synth", timestamp="test_run",
+                                data_root_dir=root, offline=True)
+            VectorFieldNerfRunner(cfg0).train()
         config = parse_config(scene="boxroom", config_path=conf_path,
                               expname="synth", timestamp="test_run",
                               checkpoint="latest", data_root_dir=root,

@@ -154,6 +154,11 @@ def extract_vf_mesh_device(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
     smoothing variants; use the host pipeline for those)."""
     offset = jnp.asarray(np.asarray(translation) + np.asarray(centroid),
                          jnp.float32)
+    n_total = resolution ** 3
+    # Don't pad tiny grids up to a full chunk.
+    chunk = min(chunk, 1 << max(int(np.ceil(np.log2(n_total))), 10))
+    cell_bucket = min(cell_bucket,
+                      1 << max(int(np.ceil(np.log2(n_total))), 10))
 
     @jax.jit
     def stage1(offset):

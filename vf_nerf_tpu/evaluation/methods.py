@@ -267,17 +267,26 @@ def marching_cubes_mesh(model: VectorFieldNerf, resolution: int,
             lambda pts: render_vector_field(modules, variables, pts,
                                             train=False),
             resolution=resolution, scale=scale,
-            centroid=np.asarray(centroid), translation=translation)
+            centroid=np.asarray(centroid), translation=translation,
+            world_coords=False)
     else:
         verts, faces = extract_vf_mesh(
             lambda pts: np.asarray(model.get_vector_field(pts)),
             resolution=resolution, scale=scale,
             centroid=np.asarray(centroid), translation=translation,
             max_batch=max_batch, smooth_before=smooth_all,
-            smooth_after=smooth_after)
+            smooth_after=smooth_after, world_coords=False)
     io_utils.mkdir_ifnotexists(mesh_path)
+    # Artifact pair per the reference (methods.py:289-322):
+    # mesh-<ckpt>.ply in canonical cube coords, mesh-scaled-<ckpt>.ply in
+    # world coords (× sub-scale + translation + centroid).
     save_ply(os.path.join(mesh_path, f"mesh-{checkpoint}.ply"), verts, faces)
-    return verts, faces
+    world = verts * scale + (translation +
+                             np.asarray(centroid, np.float32)) \
+        if len(verts) else verts
+    save_ply(os.path.join(mesh_path, f"mesh-scaled-{checkpoint}.ply"),
+             world, faces)
+    return world, faces
 
 
 def quadrant_marching_cubes(model: VectorFieldNerf, resolution: int,
@@ -293,19 +302,39 @@ def quadrant_marching_cubes(model: VectorFieldNerf, resolution: int,
     from vf_nerf_tpu.utils.meshes import concatenate_meshes
     from vf_nerf_tpu.utils.ply import save_ply
 
+    from vf_nerf_tpu.evaluation.mc.device_pipeline import \
+        extract_vf_mesh_device
+    from vf_nerf_tpu.models.renderer import render_vector_field
+
     meshes = []
+    centroid = np.asarray(centroid, np.float32)
     for translation, sub_scale in quadrant_translations(num_quadrants, scale):
-        v, f = extract_vf_mesh(
-            lambda pts: np.asarray(model.get_vector_field(pts)),
-            resolution=resolution, scale=sub_scale,
-            centroid=np.asarray(centroid), translation=translation,
-            max_batch=max_batch, smooth_before=smooth_all,
-            smooth_after=smooth_after)
+        if not (smooth_all or smooth_after):
+            modules, variables = model.modules, model.state.variables()
+            v, f = extract_vf_mesh_device(
+                lambda pts: render_vector_field(modules, variables, pts,
+                                                train=False),
+                resolution=resolution, scale=sub_scale, centroid=centroid,
+                translation=translation, world_coords=True)
+        else:
+            v, f = extract_vf_mesh(
+                lambda pts: np.asarray(model.get_vector_field(pts)),
+                resolution=resolution, scale=sub_scale, centroid=centroid,
+                translation=translation, max_batch=max_batch,
+                smooth_before=smooth_all, smooth_after=smooth_after,
+                world_coords=True)
         if len(v):
             meshes.append((v, f))
     verts, faces = concatenate_meshes(meshes) if meshes else \
         (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     io_utils.mkdir_ifnotexists(mesh_path)
-    save_ply(os.path.join(mesh_path, f"merged-mesh-{checkpoint}.ply"),
+    # Artifact pair per the reference (methods.py:126-137):
+    # merged-mesh-scaled-<ckpt>.ply in world coords, merged-mesh-<ckpt>.ply
+    # divided by the full scale and shifted by −centroid.
+    save_ply(os.path.join(mesh_path,
+                          f"merged-mesh-scaled-{checkpoint}.ply"),
              verts, faces)
+    normalized = (verts / scale - centroid) if len(verts) else verts
+    save_ply(os.path.join(mesh_path, f"merged-mesh-{checkpoint}.ply"),
+             normalized, faces)
     return verts, faces
