@@ -122,3 +122,54 @@ class TestReplicaRoundTrip:
             v2, f2 = load_ply(p)
             np.testing.assert_allclose(v2, verts)
             np.testing.assert_array_equal(f2, faces)
+
+
+class TestScanNetRoundTrip:
+    def test_export_and_load(self, tmp_path):
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.datasets.scannet import ScanNetDataset
+
+        ds = SyntheticBoxDataset(n_images=3, image_size=(16, 24),
+                                 pixels_per_batch=96)
+        root = str(tmp_path)
+        ds.export_scannet_format(root, scene="scene0000_00")
+
+        cfg = DatasetConfig(dataset_name="scannet", data_dir="ScanNet",
+                            shuffle_views=True, pixels_per_batch=96,
+                            scene="scene0000_00", data_root_dir=root,
+                            factor=1, crop_edge=0)
+        loaded = ScanNetDataset(cfg, factor=1)
+        assert loaded.n_images == 3
+        assert loaded.image_size == (16, 24)
+        np.testing.assert_allclose(loaded.poses, ds.poses, atol=1e-6)
+        # depth mm quantization → 0.5mm
+        np.testing.assert_allclose(loaded.depth_images, ds.depth_images,
+                                   atol=2e-3)
+        assert np.abs(loaded.rgb_images - ds.rgb_images).mean() < 0.02
+        np.testing.assert_allclose(loaded.intrinsics, ds.intrinsics,
+                                   atol=1e-5)
+        np.testing.assert_allclose(loaded.get_centroid(), 0.0, atol=1e-5)
+        method, path = loaded.get_vf_init_method()
+        assert method == "exterior_scene0000_00"
+        assert loaded.get_bounds()[1] == pytest.approx(ds.max_depth * 1.25,
+                                                       rel=1e-3)
+
+    def test_crop_edge(self, tmp_path):
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.datasets.scannet import ScanNetDataset
+        ds = SyntheticBoxDataset(n_images=2, image_size=(20, 28),
+                                 pixels_per_batch=64)
+        root = str(tmp_path)
+        ds.export_scannet_format(root, scene="scene0001_00")
+        cfg = DatasetConfig(dataset_name="scannet", data_dir="ScanNet",
+                            shuffle_views=True, pixels_per_batch=64,
+                            scene="scene0001_00", data_root_dir=root,
+                            factor=1, crop_edge=2)
+        loaded = ScanNetDataset(cfg, factor=1)
+        # 2 pixels trimmed from every side, principal point shifted
+        # (reference scannet_dataset.py:54-67).
+        assert loaded.image_size == (16, 24)
+        assert loaded.intrinsics[0, 2] == pytest.approx(
+            ds.intrinsics[0, 2] - 2)
+        assert loaded.intrinsics[1, 2] == pytest.approx(
+            ds.intrinsics[1, 2] - 2)

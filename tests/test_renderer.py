@@ -238,3 +238,43 @@ class TestGetDensity:
                      "mean": cfg.density_config.mean_bounds})
         np.testing.assert_allclose(np.asarray(ours), oracle, rtol=1e-4,
                                    atol=1e-3)
+
+
+class TestAnnealFine:
+    def test_anneal_fine_uses_annealed_weights_on_fine_pass(self):
+        """In anneal_fine mode the fine-pass density uses the annealed window
+        while the coarse pass stays uniform (reference
+        vector_field_nerf.py:453-455; the mode the reference's own config
+        validation rejects — reachable here)."""
+        import dataclasses as dc
+
+        from vf_nerf_tpu.models.renderer import get_density
+        from vf_nerf_tpu.ops.annealing import linear_annealing_weights
+        from vf_nerf_tpu.ops.density import init_density_params
+
+        cfg = tiny_config()
+        statics = RenderStatics.from_config(
+            dc.replace(cfg, cos_sim_weights_anneal="anneal_fine"),
+            n_fine=6, train=False)
+        rng = np.random.RandomState(0)
+        normals = rng.randn(4, 26, 3).astype(np.float32)
+        ray_dirs = rng.randn(4, 26, 3).astype(np.float32)
+        params = init_density_params({"beta": 0.5, "mean": 0.7,
+                                      "scale": 100.0})
+        annealed = jnp.asarray(linear_annealing_weights(11, 700, 600))
+        uniform = jnp.full((11,), 1.0 / 11.0)
+
+        fine_annealed = get_density(jnp.asarray(normals),
+                                    jnp.asarray(ray_dirs), params, annealed,
+                                    statics, fine=True)
+        coarse = get_density(jnp.asarray(normals), jnp.asarray(ray_dirs),
+                             params, annealed, statics, fine=False)
+        fine_uniform = get_density(jnp.asarray(normals),
+                                   jnp.asarray(ray_dirs), params, uniform,
+                                   statics, fine=True)
+        # fine pass differs under annealed weights; coarse pass equals the
+        # uniform-window fine pass (both use uniform).
+        assert not np.allclose(np.asarray(fine_annealed),
+                               np.asarray(coarse))
+        np.testing.assert_allclose(np.asarray(fine_uniform),
+                                   np.asarray(coarse), rtol=1e-6)

@@ -209,3 +209,36 @@ class SyntheticBoxDataset(BaseDataset):
         verts, faces = self.gt_mesh()
         save_ply(os.path.join(base, f"{scene}_mesh.ply"), verts, faces)
         return base
+
+    def export_scannet_format(self, root: str, scene: str = "scene0000_00",
+                              crop_edge: int = 0) -> str:
+        """Write this scene in ScanNet's on-disk layout
+        (``datasets/normal_datasets/scannet_dataset.py`` contract: color/,
+        depth/ in mm, pose/*.txt, intrinsic/intrinsic_depth.txt,
+        <scene>_vh_clean.ply)."""
+        import cv2
+
+        from vf_nerf_tpu.utils.ply import save_ply
+        base = os.path.join(root, "ScanNet", scene)
+        for sub in ("color", "depth", "pose", "intrinsic"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        h, w = self.image_size
+        with open(os.path.join(base, "intrinsic",
+                               "intrinsic_depth.txt"), "w") as f:
+            for row in self.intrinsics:
+                f.write(" ".join(str(float(v)) for v in row) + "\n")
+        for i in range(self.n_images):
+            img = (self.rgb_images[i].reshape(h, w, 3) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(base, "color", f"{i:04d}.jpg"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                        [cv2.IMWRITE_JPEG_QUALITY, 98])
+            depth_mm = (self.depth_images[i].reshape(h, w) *
+                        1000.0).astype(np.uint16)
+            cv2.imwrite(os.path.join(base, "depth", f"{i:04d}.png"),
+                        depth_mm)
+            with open(os.path.join(base, "pose", f"{i:04d}.txt"), "w") as f:
+                for row in self.poses[i]:
+                    f.write(" ".join(str(float(v)) for v in row) + "\n")
+        verts, faces = self.gt_mesh()
+        save_ply(os.path.join(base, f"{scene}_vh_clean.ply"), verts, faces)
+        return base

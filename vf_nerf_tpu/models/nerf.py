@@ -185,14 +185,37 @@ class VectorFieldNerf:
 
     def get_colors(self, pose, pixels, intrinsics,
                    epoch: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Per-sample colors on the coarse grid (reference ``get_colors``,
-        ``:341-378``; joint-optimization support surface)."""
-        out = self.render(pose, pixels, intrinsics, epoch)
-        n = out["sample_colors"].shape[0] * out["sample_colors"].shape[1]
-        return (out["sample_colors"].reshape(n, 3),
-                out["points"].reshape(n, 3),
-                jnp.repeat(out["points"][:, :1, :], out["points"].shape[1],
-                           axis=1).reshape(n, 3))
+        """Per-sample colors on the *coarse* sample grid (reference
+        ``get_colors``, ``:341-378``: uniform sampler → VF → rendering net;
+        joint-optimization support surface). Returns (rgb (R·S, 3),
+        points (R·S, 3), repeated ray dirs (R·S, 3))."""
+        from vf_nerf_tpu.ops import samplers as sampler_ops
+        from vf_nerf_tpu.ops.rays import get_ray_directions_and_cam_location
+
+        self.update_annealing(epoch)
+        statics = self.render_statics()
+        variables = self.state.variables()
+        uv = jnp.asarray(pixels)
+        pose_j = jnp.asarray(pose)
+        intr = jnp.asarray(intrinsics)
+
+        directions, ray_dirs, cam_loc = get_ray_directions_and_cam_location(
+            uv, pose_j, intr)
+        z = sampler_ops.uniform_z_vals(self._next_key(), uv.shape[0],
+                                       statics.n_coarse,
+                                       jnp.float32(self.near),
+                                       jnp.float32(self.far),
+                                       perturb=statics.perturb)
+        points = sampler_ops.points_from_z(cam_loc, directions, z)
+        flat = points.reshape(-1, 3)
+        vf_out = self.modules.vf_apply(variables, flat, train=statics.train)
+        feat_dim = self.config.vf_net_config.feature_vector_dims
+        dirs_rep = jnp.repeat(ray_dirs[:, None, :], statics.n_coarse,
+                              axis=1).reshape(-1, 3)
+        rgb = self.modules.render_apply(variables, flat, vf_out[:, :3],
+                                        dirs_rep, vf_out[:, 3:3 + feat_dim],
+                                        train=statics.train)
+        return rgb, flat, dirs_rep
 
     def get_weights_and_color(self, points, repeated_ray_dirs, z_vals,
                               epoch: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
