@@ -234,3 +234,43 @@ class TestEndToEnd:
             metrics3d = json.load(f)
         assert "tsdf" in metrics3d
         assert "chamfer" in metrics3d["tsdf"] or "error" in metrics3d["tsdf"]
+
+
+class TestScanNetEndToEnd:
+    def test_train_on_scannet_format(self, tmp_path):
+        """The same runner drives the ScanNet loader (BASELINE.json config 3
+        path: real-sensor-depth dataset family)."""
+        import numpy as np
+
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+        root = str(tmp_path)
+        ds = SyntheticBoxDataset(n_images=3, image_size=(12, 16),
+                                 pixels_per_batch=96)
+        ds.export_scannet_format(root, scene="scene0000_00", crop_edge=0)
+        conf_path = os.path.join(root, "tiny_scannet.conf")
+        exps = os.path.join(root, "exps_vf_nerf")
+        conf = TINY_CONF.replace("EXPS_PLACEHOLDER", exps)
+        conf = conf.replace('dataset_name = "replica"',
+                            'dataset_name = "scannet"')
+        conf = conf.replace('data_dir = "Replica"', 'data_dir = "ScanNet"')
+        conf = conf.replace("factor = 1", "factor = 1\n    crop_edge = 0")
+        conf = conf.replace("num_epochs = 3", "num_epochs = 2")
+        with open(conf_path, "w") as f:
+            f.write(conf)
+
+        config = parse_config(scene="scene0000_00", config_path=conf_path,
+                              expname="sn", timestamp="t0",
+                              data_root_dir=root, offline=True)
+        runner = VectorFieldNerfRunner(config)
+        runner.train()
+        run_dir = os.path.join(exps, "sn_scene0000_00", "t0")
+        assert os.path.exists(os.path.join(run_dir, "checkpoints", "vf_nerf",
+                                           "latest.ckpt"))
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            lines = [json.loads(l) for l in f
+                     if '"_type": "metrics"' in l]
+        assert len(lines) == 2
+        assert np.isfinite(lines[-1]["loss"])

@@ -36,26 +36,42 @@ def marching_cubes(values: np.ndarray,
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
 
-    # Corner values per cell via 8 shifted views: (nx-1, ny-1, nz-1, 8).
-    def corner_view(grid, off):
-        return grid[off[0]:off[0] + nx - 1,
-                    off[1]:off[1] + ny - 1,
-                    off[2]:off[2] + nz - 1]
+    # Candidate cells found slab-wise — materializing the full
+    # (cells × 8 corners) stack costs 8× the grid (8+ GB at 640³).
+    inside_grid = values < isovalue
+    planes_per_slab = max(1, (1 << 23) // max(ny * nz, 1))
+    cell_blocks, value_blocks = [], []
+    for ix0 in range(0, nx - 1, planes_per_slab):
+        ix1 = min(ix0 + planes_per_slab, nx - 1)
 
-    corner_vals = np.stack([corner_view(values, off)
-                            for off in CORNER_OFFSETS], axis=-1)
-    inside = corner_vals < isovalue
-    any_cross = inside.any(axis=-1) & (~inside.all(axis=-1))
-    if valid is not None:
-        corner_ok = np.stack([corner_view(valid, off)
-                              for off in CORNER_OFFSETS], axis=-1)
-        any_cross &= corner_ok.all(axis=-1)
+        def corner_view(grid, off):
+            return grid[ix0 + off[0]:ix1 + off[0],
+                        off[1]:off[1] + ny - 1,
+                        off[2]:off[2] + nz - 1]
 
-    cells = np.argwhere(any_cross)  # (M, 3)
-    if len(cells) == 0:
+        inside = np.stack([corner_view(inside_grid, off)
+                           for off in CORNER_OFFSETS], axis=-1)
+        any_cross = inside.any(axis=-1) & (~inside.all(axis=-1))
+        if valid is not None:
+            corner_ok = np.stack([corner_view(valid, off)
+                                  for off in CORNER_OFFSETS], axis=-1)
+            any_cross &= corner_ok.all(axis=-1)
+        local = np.argwhere(any_cross)
+        if len(local) == 0:
+            continue
+        local[:, 0] += ix0
+        corner_vals = np.stack(
+            [values[local[:, 0] + off[0], local[:, 1] + off[1],
+                    local[:, 2] + off[2]] for off in CORNER_OFFSETS],
+            axis=-1)
+        cell_blocks.append(local)
+        value_blocks.append(corner_vals)
+
+    if not cell_blocks:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    cells = np.concatenate(cell_blocks)
+    vert_values = np.concatenate(value_blocks)
 
-    vert_values = corner_vals[any_cross]                 # (M, 8)
     node = (cells[:, None, :] + CORNER_OFFSETS[None]).astype(np.float64)
     grid_verts = node * voxel_size
     if origin is not None:

@@ -71,45 +71,52 @@ def fuse_depth_maps(depths: Sequence[np.ndarray],
     tsdf = np.zeros((nx, ny, nz), np.float32)
     weight = np.zeros((nx, ny, nz), np.float32)
 
-    # Voxel centre world coordinates, built per-slab to bound memory.
-    ys_idx, zs_idx = np.meshgrid(np.arange(ny), np.arange(nz), indexing="ij")
-    for view_i, (depth, pose, k) in enumerate(zip(depths, poses, intrinsics)):
+    # Voxel centre world coordinates, built in multi-plane slabs (single
+    # planes pay too much python/launch overhead; ~4M voxels per slab keeps
+    # peak memory bounded while amortizing the vectorized work).
+    planes_per_slab = max(1, (1 << 22) // max(ny * nz, 1))
+    ys_idx, zs_idx = np.meshgrid(np.arange(ny, dtype=np.float32),
+                                 np.arange(nz, dtype=np.float32),
+                                 indexing="ij")
+    wy_plane = (mins[1] + ys_idx * voxel_size).astype(np.float32)
+    wz_plane = (mins[2] + zs_idx * voxel_size).astype(np.float32)
+    for depth, pose, k in zip(depths, poses, intrinsics):
         h, w = depth.shape[:2]
-        d_img = depth.reshape(h, w)
-        world_to_cam = np.linalg.inv(pose)
+        d_img = depth.reshape(h, w).astype(np.float32)
+        world_to_cam = np.linalg.inv(pose).astype(np.float32)
         fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
-        for ix in range(nx):
-            wx = mins[0] + ix * voxel_size
-            wy = mins[1] + ys_idx * voxel_size
-            wz = mins[2] + zs_idx * voxel_size
-            pts = np.stack([np.full_like(wy, wx), wy, wz,
-                            np.ones_like(wy)], axis=-1)   # (ny, nz, 4)
-            cam = pts @ world_to_cam.T
-            z = cam[..., 2]
+        rot = world_to_cam[:3, :3]
+        trans = world_to_cam[:3, 3]
+        # cam = rot @ world + trans; precompute the x-independent part.
+        base = (rot[:, 1][:, None, None] * wy_plane[None] +
+                rot[:, 2][:, None, None] * wz_plane[None] +
+                trans[:, None, None])                      # (3, ny, nz)
+        for ix0 in range(0, nx, planes_per_slab):
+            ix1 = min(ix0 + planes_per_slab, nx)
+            wx = (mins[0] + np.arange(ix0, ix1) *
+                  voxel_size).astype(np.float32)           # (P,)
+            # (3, P, ny, nz)
+            cam = base[:, None] + rot[:, 0][:, None, None, None] * \
+                wx[None, :, None, None]
+            z = cam[2]
             in_front = z > 1e-6
-            u = np.where(in_front, cam[..., 0] / np.maximum(z, 1e-6) * fx
-                         + cx, -1.0)
-            v = np.where(in_front, cam[..., 1] / np.maximum(z, 1e-6) * fy
-                         + cy, -1.0)
-            ui = np.round(u).astype(np.int64)
-            vi = np.round(v).astype(np.int64)
+            inv_z = 1.0 / np.maximum(z, 1e-6)
+            ui = np.round(cam[0] * inv_z * fx + cx).astype(np.int64)
+            vi = np.round(cam[1] * inv_z * fy + cy).astype(np.int64)
             in_img = in_front & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-            ui_s = np.clip(ui, 0, w - 1)
-            vi_s = np.clip(vi, 0, h - 1)
-            d_px = d_img[vi_s, ui_s]
+            d_px = d_img[np.clip(vi, 0, h - 1), np.clip(ui, 0, w - 1)]
             valid = in_img & (d_px > 0) & (d_px <= depth_trunc)
             sdf = d_px - z
             integrate = valid & (sdf >= -sdf_trunc)
             new_tsdf = np.minimum(1.0, sdf / sdf_trunc)
-            w_old = weight[ix]
-            t_old = tsdf[ix]
+            w_old = weight[ix0:ix1]
+            t_old = tsdf[ix0:ix1]
             w_new = w_old + integrate
-            t_new = np.where(integrate,
-                             (t_old * w_old + new_tsdf) / np.maximum(w_new,
-                                                                     1.0),
-                             t_old)
-            tsdf[ix] = t_new
-            weight[ix] = w_new
+            tsdf[ix0:ix1] = np.where(
+                integrate, (t_old * w_old + new_tsdf) / np.maximum(w_new,
+                                                                   1.0),
+                t_old)
+            weight[ix0:ix1] = w_new
 
     from vf_nerf_tpu.evaluation.mc.classic import marching_cubes
     return marching_cubes(tsdf, isovalue=0.0, origin=mins,
