@@ -274,3 +274,42 @@ class TestScanNetEndToEnd:
                      if '"_type": "metrics"' in l]
         assert len(lines) == 2
         assert np.isfinite(lines[-1]["loss"])
+
+
+class TestErrorPaths:
+    def test_missing_checkpoint_raises_file_exists_error(self, workspace):
+        """Parity with the reference's resume error
+        (train/vector_field_nerf_train.py:134)."""
+        root, conf_path, exps = workspace
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+        config = parse_config(scene="boxroom", config_path=conf_path,
+                              expname="synth", timestamp="no_such_run",
+                              checkpoint="latest", data_root_dir=root,
+                              offline=True)
+        with pytest.raises(FileExistsError):
+            VectorFieldNerfRunner(config)
+
+    def test_render_chunk_larger_than_image(self, workspace):
+        """Eval chunking must pad correctly when chunk_size > n_pixels."""
+        root, conf_path, exps = workspace
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.evaluation.methods import render_images
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+        ckpt = os.path.join(exps, "synth_boxroom", "test_run", "checkpoints",
+                            "vf_nerf", "latest.ckpt")
+        if not os.path.exists(ckpt):
+            pytest.skip("needs the trained checkpoint from the e2e test")
+        config = parse_config(scene="boxroom", config_path=conf_path,
+                              expname="synth", timestamp="test_run",
+                              checkpoint="latest", data_root_dir=root,
+                              offline=True)
+        config.vf_nerf_config.ray_sampler_config.perturb = False
+        model = VectorFieldNerf(config.vf_nerf_config)
+        model.load(ckpt)
+        model.eval()
+        out_dir = os.path.join(root, "evals_bigchunk")
+        render_images(model, out_dir, config.dataset_config, epoch=3,
+                      split_size=4096)  # image is 12*16 = 192 pixels
+        img = os.path.join(out_dir, "rendered_images", "image-0.png")
+        assert os.path.exists(img)

@@ -110,6 +110,38 @@ METRIC_KEYS = ("loss", "rgb_loss", "depth_loss", "unit_norm_loss",
                "supervision_loss", "norm_smaller_than_one_loss",
                "directional_derivatives_loss")
 
+# Packed ray-batch layout: one (R, 38) f32 host→device transfer per step
+# instead of six (each transfer pays the remote-TPU round-trip latency).
+_PACK_SLICES = {
+    "uv": (0, 2),
+    "rgb": (2, 5),
+    "depth": (5, 6),
+    "intrinsics": (6, 22),
+    "pose": (22, 38),
+}
+PACKED_WIDTH = 38
+
+
+def pack_batch(batch: Dict[str, Any]) -> "jnp.ndarray":
+    """Pack a host ray batch into a single (R, 38) float32 array."""
+    import numpy as np
+    n = len(batch["uv"])
+    out = np.empty((n, PACKED_WIDTH), np.float32)
+    for key, (lo, hi) in _PACK_SLICES.items():
+        out[:, lo:hi] = np.asarray(batch[key]).reshape(n, hi - lo)
+    return out
+
+
+def unpack_batch(packed: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    n = packed.shape[0]
+    out: Dict[str, jnp.ndarray] = {}
+    for key, (lo, hi) in _PACK_SLICES.items():
+        arr = packed[:, lo:hi]
+        if key in ("intrinsics", "pose"):
+            arr = arr.reshape(n, 4, 4)
+        out[key] = arr
+    return out
+
 
 def zero_metric_sums() -> Dict[str, jnp.ndarray]:
     """Initial on-device metric accumulator for one epoch."""
@@ -135,7 +167,7 @@ def make_train_step(modules: VFNerfModules,
 
     def step(state: TrainState,
              metric_sums: Dict[str, jnp.ndarray],
-             batch: Dict[str, jnp.ndarray],
+             batch,
              base_key: jax.Array,
              epoch: jnp.ndarray,
              window_weights: jnp.ndarray,
@@ -143,6 +175,8 @@ def make_train_step(modules: VFNerfModules,
              far: jnp.ndarray,
              centroid: jnp.ndarray
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if not isinstance(batch, dict):
+            batch = unpack_batch(batch)  # packed (R, 38) single-transfer form
         key = jax.random.fold_in(base_key, state.step)
         k_render, k_sup = jax.random.split(key)
 

@@ -198,12 +198,16 @@ class VectorFieldNerfRunner:
             n = (n // self.n_devices) * self.n_devices
         return n
 
-    def _feed(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    def _feed(self, batch: Dict[str, np.ndarray]):
+        """One packed (R, 38) transfer per step (six small transfers each
+        paid the remote-TPU round-trip latency)."""
+        from vf_nerf_tpu.parallel.train_step import pack_batch
         n = self._batch_rays()
         trimmed = {k: v[:n] for k, v in batch.items() if v.size > 0}
+        packed = pack_batch(trimmed)
         if self.mesh is not None:
-            return mesh_lib.shard_batch(self.mesh, trimmed)
-        return {k: jnp.asarray(v) for k, v in trimmed.items()}
+            return mesh_lib.shard_batch(self.mesh, packed)
+        return jnp.asarray(packed)
 
     # --------------------------------------------------------------- train
     def train(self) -> None:
