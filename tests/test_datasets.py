@@ -173,3 +173,28 @@ class TestScanNetRoundTrip:
             ds.intrinsics[0, 2] - 2)
         assert loaded.intrinsics[1, 2] == pytest.approx(
             ds.intrinsics[1, 2] - 2)
+
+
+class TestRandomImgSampling:
+    def test_replica_random_sampling(self, tmp_path):
+        """random_img_sampling loads all frames and re-subsamples per epoch
+        (reference replica_dataset.py:105-119)."""
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.datasets.replica import ReplicaDataset
+
+        ds = SyntheticBoxDataset(n_images=4, image_size=(8, 12),
+                                 pixels_per_batch=64)
+        root = str(tmp_path)
+        ds.export_replica_format(root, scene="boxroom")
+        cfg = DatasetConfig(dataset_name="replica", data_dir="Replica",
+                            shuffle_views=True, pixels_per_batch=64,
+                            scene="boxroom", data_root_dir=root, factor=2,
+                            random_img_sampling=True)
+        loaded = ReplicaDataset(cfg)
+        assert loaded.n_images == 4          # all frames indexed
+        assert len(loaded) == 2              # but epochs use n//factor
+        loaded.sample_new_images()
+        assert len(loaded.rgb_images) == 2
+        assert loaded.poses.shape == (2, 4, 4)
+        batch = next(loaded.epoch_batches(np.random.RandomState(0)))
+        assert batch["rgb"].shape[0] == 2 * (64 // 4)
