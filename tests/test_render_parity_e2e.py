@@ -172,3 +172,41 @@ def test_full_render_parity(fast_eval, trained_setup):
     np.testing.assert_allclose(
         np.asarray(ours["normals"])[det_rays],
         ref_out.coarse_normals.numpy()[det_rays], rtol=1e-3, atol=2e-4)
+
+
+def test_get_weights_and_color_parity(trained_setup):
+    """Facade ``get_weights_and_color`` (the joint-optimization support
+    surface) vs the reference's (``vector_field_nerf.py:405-440``) on the
+    same externally-supplied points/z-values."""
+    import torch
+
+    from vf_nerf_tpu.models.nerf import VectorFieldNerf
+
+    cfg, modules, variables = trained_setup
+    ref_model = build_reference_model(cfg, variables)
+
+    model = VectorFieldNerf(cfg, decay_steps=100)
+    model.state = model.state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"])
+    model.eval()
+
+    rng = np.random.RandomState(5)
+    n_rays, n_samples = 6, 20
+    z_vals = np.sort(rng.uniform(0.2, 3.0, (n_rays, n_samples)),
+                     axis=1).astype(np.float32)
+    dirs = rng.randn(n_rays, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rep_dirs = np.repeat(dirs[:, None], n_samples, axis=1).reshape(-1, 3)
+    points = (rng.randn(n_rays, 1, 3) * 0.1 +
+              z_vals[..., None] * dirs[:, None]).astype(np.float32)
+
+    with torch.no_grad():
+        t_w, t_rgb = ref_model.get_weights_and_color(
+            torch.from_numpy(points), torch.from_numpy(rep_dirs),
+            torch.from_numpy(z_vals), epoch=0)
+    o_w, o_rgb = model.get_weights_and_color(points, rep_dirs, z_vals,
+                                             epoch=0)
+    np.testing.assert_allclose(np.asarray(o_w), t_w.numpy(), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_rgb), t_rgb.numpy(), rtol=1e-3,
+                               atol=1e-4)
