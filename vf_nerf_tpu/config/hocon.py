@@ -21,7 +21,7 @@ Returned objects are plain ``dict``/``list``/scalars.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional
 
 
 class HoconParseError(ValueError):

@@ -18,7 +18,7 @@ ready-to-ship numpy dicts (the device feed happens in the runner).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 

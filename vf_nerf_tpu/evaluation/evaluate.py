@@ -12,10 +12,7 @@ count from the checkpoint epoch (``:37-41``). Output tree:
 
 from __future__ import annotations
 
-import dataclasses
 import os
-
-import numpy as np
 
 from vf_nerf_tpu.config.parser import eval_argparser, parse_config
 from vf_nerf_tpu.config.schema import VFRunnerConfig

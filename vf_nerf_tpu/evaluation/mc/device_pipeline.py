@@ -17,7 +17,6 @@ signed corner values. Triangle emission + dedup stay on host (table lookups).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import numpy as np

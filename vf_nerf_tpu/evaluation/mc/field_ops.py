@@ -24,8 +24,8 @@ from typing import Tuple
 
 import numpy as np
 
-from vf_nerf_tpu.evaluation.mc.tables import (COMB_I, COMB_J, CORNER_OFFSETS,
-                                              N_COMBS)
+from vf_nerf_tpu.evaluation.mc.tables import (COMB_I, COMB_J,
+                                              CORNER_OFFSETS)
 
 FACE_AREA = np.sqrt(3.0) / 4.0
 SHAPE_VOLUME = np.sqrt(2.0) / 3.0

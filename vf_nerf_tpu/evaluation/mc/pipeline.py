@@ -18,7 +18,7 @@ Reference: ``evaluation/methods.py:139-322`` (``marching_cubes_mesh``) and
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, List, Tuple
+from typing import Callable, Iterator, Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from typing import Dict, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from vf_nerf_tpu.config.schema import DatasetConfig
 from vf_nerf_tpu.datasets import dataset_dict

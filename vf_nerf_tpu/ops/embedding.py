@@ -10,7 +10,6 @@ Frequencies are ``2**linspace(0, multires-1, multires)`` = exact powers of two.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax.numpy as jnp
 

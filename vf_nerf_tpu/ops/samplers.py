@@ -20,7 +20,7 @@ All return sorted z values; callers turn them into points with
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

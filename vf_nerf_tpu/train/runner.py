@@ -23,7 +23,6 @@ data mesh (the batch is trimmed to a device-count multiple).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import shutil
 from typing import Any, Dict, Optional
@@ -36,7 +35,6 @@ import jax.numpy as jnp
 from vf_nerf_tpu.config.schema import VFRunnerConfig, asdict_config
 from vf_nerf_tpu.datasets import dataset_dict
 from vf_nerf_tpu.models.nerf import VectorFieldNerf
-from vf_nerf_tpu.models.renderer import RenderStatics
 from vf_nerf_tpu.parallel import mesh as mesh_lib
 from vf_nerf_tpu.parallel.train_step import (SupervisionStatics,
                                              make_train_step)
@@ -155,8 +153,6 @@ class VectorFieldNerfRunner:
                     n_layers=len(vf_cfg.dimensions) + 1,
                     batch_norm=vf_cfg.batch_norm,
                     weight_norm=vf_cfg.weight_norm)
-                import pickle
-                import tempfile
                 state = self.model.state
                 new_params = dict(state.params)
                 new_params["vf"] = jax.tree_util.tree_map(jnp.asarray, params)
