@@ -313,3 +313,34 @@ class TestErrorPaths:
                       split_size=4096)  # image is 12*16 = 192 pixels
         img = os.path.join(out_dir, "rendered_images", "image-0.png")
         assert os.path.exists(img)
+
+
+class TestReproducibility:
+    def test_same_seed_same_first_epoch(self, tmp_path_factory):
+        """Two runners from the same config produce identical first-epoch
+        losses (seeded data order + on-device PRNG; reference seeds
+        everything at 42, utils/utils.py:157-167)."""
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+        root = str(tmp_path_factory.mktemp("repro"))
+        ds = SyntheticBoxDataset(n_images=2, image_size=(8, 12),
+                                 pixels_per_batch=64)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        conf = TINY_CONF.replace("EXPS_PLACEHOLDER",
+                                 os.path.join(root, "exps"))
+        conf = conf.replace("pixels_per_batch = 96",
+                            "pixels_per_batch = 64")
+        with open(conf_path, "w") as f:
+            f.write(conf)
+
+        losses = []
+        for run in range(2):
+            config = parse_config(scene="boxroom", config_path=conf_path,
+                                  expname="r", timestamp=f"rep{run}",
+                                  data_root_dir=root, offline=True)
+            runner = VectorFieldNerfRunner(config)
+            losses.append(runner.train_epoch(0))
+        assert losses[0] == losses[1]
