@@ -198,3 +198,66 @@ class TestExtras:
                                  centroid=np.zeros(3), n=10)
         assert os.path.exists(os.path.join(str(tmp_path), "plots-overall",
                                            "overall.png"))
+
+
+def _import_ref_utils():
+    """utils.utils imports several unavailable packages at module level
+    (open3d, trimesh, lpips, skimage, sklearn, requests, imageio needs
+    nothing) — stub them so the metric functions are importable."""
+    import sys
+    import types
+    for name in ("open3d", "trimesh", "lpips", "skimage", "requests",
+                 "sklearn", "sklearn.cluster", "torchvision",
+                 "torchvision.transforms"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "sklearn.cluster":
+                mod.KMeans = object
+            if name == "torchvision.transforms":
+                mod.ToTensor = mod.Normalize = mod.Compose = object
+            if name == "trimesh":
+                mod.Trimesh = object
+            sys.modules[name] = mod
+    import utils.utils as ref_utils
+    return ref_utils
+
+
+class TestImageMetricParity:
+    def test_ssim_matches_reference(self):
+        from reference_oracle import (add_reference_to_path,
+                                      reference_available)
+        if not reference_available():
+            pytest.skip("reference not mounted")
+        add_reference_to_path()
+        import torch
+        ref_utils = _import_ref_utils()
+
+        from vf_nerf_tpu.utils.metrics import get_ssim
+        rng = np.random.RandomState(0)
+        a = rng.rand(24, 32, 3).astype(np.float32)
+        b = np.clip(a + rng.randn(24, 32, 3).astype(np.float32) * 0.05, 0, 1)
+        theirs = ref_utils.get_ssim(torch.from_numpy(a), torch.from_numpy(b))
+        ours = get_ssim(a, b)
+        assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-5)
+
+    def test_psnr_and_l1cm_match_reference(self):
+        from reference_oracle import (add_reference_to_path,
+                                      reference_available)
+        if not reference_available():
+            pytest.skip("reference not mounted")
+        add_reference_to_path()
+        import torch
+        ref_utils = _import_ref_utils()
+
+        from vf_nerf_tpu.utils.metrics import get_l1_cm, get_psnr
+        rng = np.random.RandomState(1)
+        a = rng.rand(16, 20, 3).astype(np.float32)
+        b = rng.rand(16, 20, 3).astype(np.float32)
+        assert get_psnr(a, b) == pytest.approx(
+            ref_utils.get_psnr(torch.from_numpy(a), torch.from_numpy(b)),
+            rel=1e-5)
+        d1 = rng.rand(16, 20).astype(np.float32) * 3
+        d2 = rng.rand(16, 20).astype(np.float32) * 3
+        assert get_l1_cm(d1, d2) == pytest.approx(
+            ref_utils.get_l1_cm(torch.from_numpy(d1), torch.from_numpy(d2)),
+            rel=1e-5)
