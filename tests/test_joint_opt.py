@@ -127,6 +127,55 @@ joint_optimization {
         assert cfg.vf_config.num_epochs == \
             cfg.train_config.supervised_vf_epochs
 
+    @pytest.mark.skipif(len(jax.devices()) < 8,
+                        reason="needs 8 virtual devices")
+    def test_sharded_joint_step_equals_single_device(self, tmp_path):
+        """BASELINE configs[4]: joint optimization with multi-chip ray
+        sharding — sharded step must match the single-device step."""
+        from vf_nerf_tpu.parallel import mesh as mesh_lib
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        cfg = self._build(tmp_path)
+        runner = JointOptimizationRunner(cfg)
+        statics = runner.model.render_statics(train=False)
+        step = runner._joint_step_fn(statics)
+
+        params = {"model": runner.model.state.params,
+                  "poses": jnp.asarray(runner.pose_params)}
+        opt_state = runner.joint_tx.init(params)
+        batch_stats = runner.model.state.batch_stats
+        batch = next(runner.dataset.epoch_batches(np.random.RandomState(0)))
+        near, far = runner.dataset.get_bounds()
+        args = (jax.random.PRNGKey(3), jnp.float32(near), jnp.float32(far),
+                jnp.asarray(runner.model.window_weights))
+
+        def zeros():
+            return {k: jnp.zeros((), jnp.float32)
+                    for k in runner.JOINT_METRICS}
+
+        copy = jax.tree_util.tree_map(jnp.copy, params)
+        runner.mesh, runner.n_devices = None, 1
+        p_a, _, s_a = step(copy, runner.joint_tx.init(copy), zeros(),
+                           batch_stats, runner._feed_rays(batch), *args)
+
+        mesh = mesh_lib.make_mesh(8)
+        runner.mesh, runner.n_devices = mesh, 8
+        p_b = mesh_lib.replicate_state(
+            mesh, jax.tree_util.tree_map(jnp.copy, params))
+        p_b, _, s_b = step(p_b, runner.joint_tx.init(p_b),
+                           mesh_lib.replicate_state(mesh, zeros()),
+                           mesh_lib.replicate_state(mesh, batch_stats),
+                           runner._feed_rays(batch), *args)
+
+        assert float(s_a["loss"]) == pytest.approx(float(s_b["loss"]),
+                                                   rel=1e-5)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) -
+                                             np.asarray(b)))), p_a, p_b)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+        # Poses received gradients in both runs.
+        assert not np.allclose(np.asarray(p_a["poses"]),
+                               np.asarray(params["poses"]))
+
     def test_joint_training_runs_and_improves(self, tmp_path):
         from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
         cfg = self._build(tmp_path)

@@ -22,6 +22,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def apply_platform(platform: str) -> None:
+    """Honor ``DeviceConfig.platform`` (CLI ``--gpu cpu``/``tpu``).
+
+    Must run before the first JAX computation. This image's sitecustomize
+    pins ``jax_platforms`` via jax.config, so the ``JAX_PLATFORMS`` env var
+    alone cannot select CPU — the config update is the only reliable switch
+    (DEVELOPMENT.md).
+    """
+    if not platform:
+        return
+    try:
+        jax.config.update("jax_platforms", platform)
+    except RuntimeError as exc:  # backends already initialized
+        import warnings
+        warnings.warn(f"could not switch JAX platform to {platform!r}: {exc}")
+
+
 def make_mesh(num_devices: int = 0,
               devices: Optional[list] = None) -> Mesh:
     """1-D data mesh over ``num_devices`` (0 = all local devices)."""

@@ -22,8 +22,14 @@ This module designs the stage from that contract:
   ``surface`` / ``non_surface`` / ``supervision``),
 - the ``similarity`` weight drives the point-pair consistency loss
   (``models/loss.py::similarity_loss``, reference ``functions.py:183-225``),
-- both phases run as jitted steps over the data mesh (rays sharded,
-  state replicated) like the main trainer.
+- both phases run as jitted steps over the data mesh (rays / supervision
+  points sharded on the leading axis, ``{model, poses}`` state replicated;
+  XLA inserts the gradient all-reduce), like the main trainer
+  (``parallel/train_step.py``). Supervision targets are snapped against the
+  field as it stood at the start of each supervision block (one host→device
+  sync per block, not per step — remote-TPU round-trips cost ~60-100 ms).
+  Per-batch metrics accumulate in a donated on-device sum tree and are
+  fetched once per epoch, logged as epoch averages (C17 semantics).
 """
 
 from __future__ import annotations
@@ -45,6 +51,7 @@ from vf_nerf_tpu.models.loss import similarity_loss
 from vf_nerf_tpu.models.nerf import VectorFieldNerf
 from vf_nerf_tpu.models.renderer import render_rays
 from vf_nerf_tpu.ops.rays import matrix_to_pose7, normalize
+from vf_nerf_tpu.parallel import mesh as mesh_lib
 from vf_nerf_tpu.utils import checkpoint as ckpt_io
 from vf_nerf_tpu.utils import io as io_utils
 from vf_nerf_tpu.utils.logging import MetricsLogger
@@ -64,6 +71,8 @@ class JointOptimizationRunner:
         self.config = config
         vf_cfg = config.vf_config
         np.random.seed(42)
+        mesh_lib.apply_platform(
+            vf_cfg.vf_nerf_config.device_config.platform)
 
         self.dataset = dataset_dict[vf_cfg.dataset_config.dataset_name](
             vf_cfg.dataset_config)
@@ -93,6 +102,14 @@ class JointOptimizationRunner:
         lr = config.train_config.refinement_init_lr
         self.joint_tx = optax.adam(lr)
         self.joint_opt_state = None  # built on first step (needs params)
+
+        # Device mesh for data-parallel ray sharding (same policy as the
+        # main runner: all devices unless the config caps it).
+        n_dev = vf_cfg.vf_nerf_config.device_config.num_devices
+        avail = len(jax.devices())
+        self.n_devices = min(n_dev, avail) if n_dev > 0 else avail
+        self.mesh = mesh_lib.make_mesh(self.n_devices) \
+            if self.n_devices > 1 else None
 
         self.logger = MetricsLogger(self.run_dir, vf_cfg.wandb_project,
                                     vf_cfg.expname + "_joint",
@@ -150,14 +167,18 @@ class JointOptimizationRunner:
         return np.concatenate(pts).astype(np.float32)
 
     # ------------------------------------------------------- joint step
+    JOINT_METRICS = ("loss", "rgb_loss", "depth_loss", "unit_norm_loss",
+                     "similarity_loss")
+    SUP_METRICS = ("loss", "surface_loss", "non_surface_loss")
+
     def _joint_step_fn(self, statics):
         modules = self.model.modules
         weights = self.weights
         depth_clamp = 0.5
         tx = self.joint_tx
 
-        def step(params, opt_state, batch_stats, batch, key, near, far,
-                 window):
+        def step(params, opt_state, sums, batch_stats, batch, key, near,
+                 far, window):
             def loss_fn(p):
                 pose7 = p["poses"][batch["view_idx"]]
                 variables = {"params": p["model"],
@@ -194,17 +215,18 @@ class JointOptimizationRunner:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             parts["loss"] = loss
-            return params, opt_state, parts
+            sums = {k: sums[k] + parts[k] for k in self.JOINT_METRICS}
+            return params, opt_state, sums
 
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _supervised_step_fn(self):
         modules = self.model.modules
         weights = self.weights
         tx = self.joint_tx
 
-        def step(params, opt_state, batch_stats, surface_pts, surface_gt,
-                 off_pts, off_gt):
+        def step(params, opt_state, sums, batch_stats, surface_pts,
+                 surface_gt, off_pts, off_gt):
             def loss_fn(p):
                 variables = {"params": p["model"],
                              "batch_stats": batch_stats}
@@ -223,9 +245,10 @@ class JointOptimizationRunner:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             parts["loss"] = loss
-            return params, opt_state, parts
+            sums = {k: sums[k] + parts[k] for k in self.SUP_METRICS}
+            return params, opt_state, sums
 
-        return jax.jit(step)
+        return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _supervision_batch(self, rng: np.random.RandomState, n: int = 4096
                            ) -> Tuple[np.ndarray, ...]:
@@ -246,6 +269,37 @@ class JointOptimizationRunner:
             np.linalg.norm(direction, axis=1, keepdims=True), 1e-8)
         return surface, snapped, off, off_gt.astype(np.float32)
 
+    # --------------------------------------------------------- sharding
+    def _trim(self, n: int) -> int:
+        """Largest device-count multiple ≤ n (ray axes must divide evenly)."""
+        if self.mesh is None:
+            return n
+        return (n // self.n_devices) * self.n_devices
+
+    def _feed_rays(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Place a host ray batch, sharded on the ray axis over the mesh."""
+        keys = ("uv", "rgb", "depth", "intrinsics", "view_idx")
+        n = self._trim(len(batch["uv"]))
+        trimmed = {k: np.asarray(batch[k])[:n] for k in keys
+                   if k in batch and np.asarray(batch[k]).size > 0}
+        if self.mesh is not None:
+            return mesh_lib.shard_batch(self.mesh, trimmed)
+        return {k: jnp.asarray(v) for k, v in trimmed.items()}
+
+    def _feed_points(self, *arrays: np.ndarray) -> Tuple[Any, ...]:
+        """Place supervision point sets, sharded on the leading axis."""
+        n = self._trim(len(arrays[0]))
+        out = tuple(a[:n] for a in arrays)
+        if self.mesh is not None:
+            return mesh_lib.shard_batch(self.mesh, out)
+        return tuple(jnp.asarray(a) for a in out)
+
+    def _zero_sums(self, keys: Tuple[str, ...]) -> Dict[str, jnp.ndarray]:
+        sums = {k: jnp.zeros((), jnp.float32) for k in keys}
+        if self.mesh is not None:
+            sums = mesh_lib.replicate_state(self.mesh, sums)
+        return sums
+
     # ------------------------------------------------------------ train
     def train(self) -> Dict[str, float]:
         cfg = self.config
@@ -258,6 +312,10 @@ class JointOptimizationRunner:
                   "poses": jnp.asarray(self.pose_params)}
         opt_state = self.joint_tx.init(params)
         batch_stats = self.model.state.batch_stats
+        if self.mesh is not None:
+            params = mesh_lib.replicate_state(self.mesh, params)
+            opt_state = mesh_lib.replicate_state(self.mesh, opt_state)
+            batch_stats = mesh_lib.replicate_state(self.mesh, batch_stats)
         near = jnp.float32(self.model.near)
         far = jnp.float32(self.model.far)
         window = jnp.asarray(self.model.window_weights)
@@ -266,26 +324,39 @@ class JointOptimizationRunner:
 
         last: Dict[str, float] = {}
         for epoch in range(tc.joint_epochs):
+            epoch_log: Dict[str, float] = {}
             if (self.weights.supervision > 0 and tc.supervise_every > 0
                     and epoch % tc.supervise_every == 0):
                 self._bases = self.dominant_bases(key)
-                for _ in range(tc.supervision_epochs):
-                    s_pts, s_gt, o_pts, o_gt = self._supervision_batch(rng)
-                    params, opt_state, parts = sup_step(
-                        params, opt_state, batch_stats,
-                        jnp.asarray(s_pts), jnp.asarray(s_gt),
-                        jnp.asarray(o_pts), jnp.asarray(o_gt))
-                    self._sync_model(params)
+                # Targets snap against the field at block start; batches are
+                # assembled up front so the device never waits on a per-step
+                # host sync.
+                batches = [self._supervision_batch(rng)
+                           for _ in range(tc.supervision_epochs)]
+                sup_sums = self._zero_sums(self.SUP_METRICS)
+                for arrays in batches:
+                    fed = self._feed_points(*arrays)
+                    params, opt_state, sup_sums = sup_step(
+                        params, opt_state, sup_sums, batch_stats, *fed)
+                self._sync_model(params)
+                n_sup = max(len(batches), 1)
+                epoch_log.update(
+                    {f"supervised_{k}": float(v) / n_sup
+                     for k, v in jax.device_get(sup_sums).items()})
 
+            sums = self._zero_sums(self.JOINT_METRICS)
+            count = 0
             for batch in self.dataset.epoch_batches(rng):
                 key, sub = jax.random.split(key)
-                fed = {k: jnp.asarray(v) for k, v in batch.items()
-                       if np.asarray(v).size > 0}
-                params, opt_state, parts = joint_step(
-                    params, opt_state, batch_stats, fed, sub, near, far,
-                    window)
+                fed = self._feed_rays(batch)
+                params, opt_state, sums = joint_step(
+                    params, opt_state, sums, batch_stats, fed, sub, near,
+                    far, window)
+                count += 1
             self._sync_model(params)
-            last = {k: float(v) for k, v in parts.items()}
+            epoch_log.update({k: float(v) / max(count, 1)
+                              for k, v in jax.device_get(sums).items()})
+            last = epoch_log
             self.logger.log(last, step=epoch)
             if epoch % cfg.save_frequency == 0:
                 self.save(epoch, params)

@@ -49,6 +49,8 @@ class VectorFieldNerfRunner:
     def __init__(self, config: VFRunnerConfig) -> None:
         self.config = config
         np.random.seed(SEED)
+        mesh_lib.apply_platform(
+            config.vf_nerf_config.device_config.platform)
 
         # Dataset (loads everything to host RAM, reference :36).
         self.dataset = dataset_dict[config.dataset_config.dataset_name](
