@@ -76,7 +76,8 @@ class TestTrainStep:
         rng = np.random.RandomState(0)
         losses, rgb_losses = [], []
         key = jax.random.PRNGKey(1)
-        for i in range(100):
+        n_steps = 200
+        for i in range(n_steps):
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub,
                                   jnp.asarray(i, jnp.int32), **args)
@@ -86,7 +87,7 @@ class TestTrainStep:
         # training on a fixed batch must fit it
         assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5])
         assert np.mean(rgb_losses[-5:]) < np.mean(rgb_losses[:5])
-        assert int(state.step) == 100
+        assert int(state.step) == n_steps
 
     def test_metrics_keys_match_reference(self):
         """Per-term scalar names mirror the reference losses dict

@@ -1,0 +1,92 @@
+"""Sustained training throughput through the real runner on the real chip.
+
+Measures the end-to-end hot loop of the reference trainer
+(``train/vector_field_nerf_train.py:161-260``) as rebuilt in
+``train/runner.py``: host batch assembly + packing + transfer + jitted
+train step + epoch-end metric fetch, at the headline workload (1024-ray
+mixed-view batches, full 256-wide nets, 100 coarse + fine samples) on a
+Replica-resolution synthetic scene. Timing is wall-clock over whole epochs
+(each epoch ends in a device fetch, so the axon relay cannot lie).
+
+Usage: python tools/train_throughput.py [--epochs 6] [--views 8]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=6)
+    parser.add_argument("--views", type=int, default=8)
+    parser.add_argument("--size", type=int, nargs=2, default=[680, 1200])
+    parser.add_argument("--workdir", type=str, default="/tmp/vf_throughput")
+    args = parser.parse_args()
+
+    from vf_nerf_tpu.config.parser import parse_config
+    from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+    from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+    if os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir)
+
+    print("== exporting synthetic scene at "
+          f"{args.size[0]}x{args.size[1]} x{args.views} views ==", flush=True)
+    ds = SyntheticBoxDataset(n_images=args.views,
+                             image_size=tuple(args.size),
+                             pixels_per_batch=1024)
+    ds.export_replica_format(args.workdir, scene="boxroom")
+
+    conf_path = os.path.join(args.workdir, "run.conf")
+    exps = os.path.join(args.workdir, "exps_vf_nerf")
+    with open(os.path.join(REPO, "confs", "vf_nerf.conf")) as f:
+        conf = f.read()
+    conf = conf.replace("num_epochs = 3001", "num_epochs = 1000")
+    conf = conf.replace("save_frequency = 100", "save_frequency = 100000")
+    conf = conf.replace('exps_folder = "./exps_vf_nerf"',
+                        f'exps_folder = "{exps}"')
+    with open(conf_path, "w") as f:
+        f.write(conf)
+
+    config = parse_config(scene="boxroom", config_path=conf_path,
+                          expname="throughput", data_root_dir=args.workdir,
+                          offline=True)
+    config.dataset_config.factor = 1  # keep all exported views
+    config.num_epochs = args.epochs + 1
+    runner = VectorFieldNerfRunner(config)
+    n_rays = runner._batch_rays()
+    steps_per_epoch = len(runner.dataset)
+
+    print("== warmup epoch (compile) ==", flush=True)
+    runner.dataset.sample_new_images()
+    t0 = time.perf_counter()
+    runner.train_epoch(0)
+    print(f"warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    print(f"== timing {args.epochs} epochs x {steps_per_epoch} steps "
+          f"x {n_rays} rays ==", flush=True)
+    t0 = time.perf_counter()
+    for epoch in range(1, args.epochs + 1):
+        runner.train_epoch(epoch)
+    elapsed = time.perf_counter() - t0
+    total_rays = args.epochs * steps_per_epoch * n_rays
+    per_step_ms = elapsed / (args.epochs * steps_per_epoch) * 1e3
+    print(json.dumps({
+        "metric": "sustained train rays/sec (runner end-to-end)",
+        "value": round(total_rays / elapsed, 1),
+        "unit": "rays/sec",
+        "per_step_ms": round(per_step_ms, 2),
+        "n_rays": n_rays,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

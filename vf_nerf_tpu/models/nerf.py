@@ -255,17 +255,21 @@ class VectorFieldNerf:
         return weights, rgb
 
     # --------------------------------------------------------- density log
+    def density_scalar_arrays(self) -> Dict[str, jax.Array]:
+        """Clamped learned density params as on-device scalars — lets the
+        caller fold them into a single batched ``device_get`` (reference
+        trainer logs these per epoch, ``:286-288``)."""
+        d: DensityParams = self.state.params["density"]
+        dc = self.config.density_config
+        return {"beta": get_beta(d, tuple(dc.beta_bounds)),
+                "scale": get_scale(d, dc.scale_min),
+                "mean": get_mean(d, tuple(dc.mean_bounds))}
+
     def density_scalars(self) -> Dict[str, float]:
         """Clamped learned density params for logging (reference trainer
         ``:286-288``); one batched host fetch."""
-        d: DensityParams = self.state.params["density"]
-        dc = self.config.density_config
-        beta, scale, mean = jax.device_get(
-            (get_beta(d, tuple(dc.beta_bounds)),
-             get_scale(d, dc.scale_min),
-             get_mean(d, tuple(dc.mean_bounds))))
-        return {"beta": float(beta), "scale": float(scale),
-                "mean": float(mean)}
+        return {k: float(v) for k, v in
+                jax.device_get(self.density_scalar_arrays()).items()}
 
     def current_lr(self) -> float:
         return float(self.lr_schedule(int(self.state.step)))

@@ -249,8 +249,11 @@ class VectorFieldNerfRunner:
         if self.mesh is not None:
             sums = mesh_lib.replicate_state(self.mesh, sums)
         count = 0
-        for batch in self.dataset.epoch_batches(self._epoch_rng):
-            fed = self._feed(batch)
+        # Batch assembly + packing + host→device transfer run one step ahead
+        # in a worker thread, overlapped with device compute.
+        from vf_nerf_tpu.utils.prefetch import Prefetcher
+        for fed in Prefetcher(self.dataset.epoch_batches(self._epoch_rng),
+                              self._feed, depth=2):
             self._timer.tick()
             state, sums = step(self.model.state, sums, fed, base_key,
                                epoch_j, window_weights=window_j, near=near,
@@ -259,10 +262,15 @@ class VectorFieldNerfRunner:
             count += 1
         self._timer.tick()
 
-        host_sums = jax.device_get(sums)
+        # Everything the epoch log needs comes back in ONE host fetch
+        # (each device_get through the relay costs a full round-trip).
+        host_sums, dens, step_now = jax.device_get(
+            (sums, self.model.density_scalar_arrays(),
+             self.model.state.step))
         averages = {k: float(v) / count for k, v in host_sums.items()}
-        averages.update(self.model.density_scalars())
-        averages["learning_rate"] = self.model.current_lr()
+        averages.update({k: float(v) for k, v in dens.items()})
+        averages["learning_rate"] = float(
+            self.model.lr_schedule(int(step_now)))
         averages.update({f"w_{i}": float(w) for i, w in enumerate(window)})
         averages["rays_per_sec"] = self._timer.rays_per_sec(
             self._batch_rays())
