@@ -133,6 +133,19 @@ class TestDensity:
                                        scale_min, mean_bounds, cutoff=cutoff)
         np.testing.assert_allclose(_np(ours), theirs, rtol=RTOL, atol=1e-4)
 
+    def test_laplace_density_sdf_matches_reference(self):
+        """Covers both SdfDensity (:51) and LaplaceDensitySdf (:301) — they
+        are byte-identical math in the reference."""
+        from models.helpers.density_functions import LaplaceDensitySdf
+
+        ref = LaplaceDensitySdf(params_init={"beta": 0.3}, beta_min=1e-4)
+        x = np.linspace(-1.5, 1.5, 77).astype(np.float32)
+        with torch.no_grad():
+            theirs = ref.density_func(torch.from_numpy(x)).numpy()
+        ours = density.laplace_density_sdf(jnp.asarray(x),
+                                           jnp.asarray(0.3), beta_min=1e-4)
+        np.testing.assert_allclose(_np(ours), theirs, rtol=RTOL, atol=1e-4)
+
     def test_param_clamps(self):
         from models.helpers.density_functions import LaplaceDensity
         params_init = {"beta": -3.0, "scale": -0.2, "mean": 7.0}

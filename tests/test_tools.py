@@ -261,3 +261,62 @@ class TestImageMetricParity:
         assert get_l1_cm(d1, d2) == pytest.approx(
             ref_utils.get_l1_cm(torch.from_numpy(d1), torch.from_numpy(d2)),
             rel=1e-5)
+
+
+def _write_tiny_lpips_npz(path, widths=(4, 4, 8, 8, 8), seed=0):
+    """An LPIPS weights npz with the real 13-conv/5-tap structure but tiny
+    channel counts (the forward reads channel counts from the arrays)."""
+    rng = np.random.RandomState(seed)
+    blocks = ((widths[0],) * 2, (widths[1],) * 2, (widths[2],) * 3,
+              (widths[3],) * 3, (widths[4],) * 3)
+    arrays, in_c, i = {}, 3, 0
+    for block in blocks:
+        for out_c in block:
+            arrays[f"conv{i}_w"] = rng.randn(out_c, in_c, 3, 3).astype(
+                np.float32) * 0.3
+            arrays[f"conv{i}_b"] = rng.randn(out_c).astype(np.float32) * 0.1
+            in_c = out_c
+            i += 1
+    for j, w in enumerate(widths):
+        arrays[f"lin{j}"] = np.abs(rng.randn(w)).astype(np.float32)
+    np.savez(path, **arrays)
+
+
+class TestLpips:
+    def test_gate_and_error_when_unavailable(self, tmp_path, monkeypatch):
+        from vf_nerf_tpu.utils.metrics import get_lpips, lpips_available
+        missing = str(tmp_path / "nope.npz")
+        monkeypatch.setenv("VF_NERF_LPIPS_WEIGHTS", missing)
+        assert not lpips_available()
+        img = np.zeros((8, 8, 3), np.float32)
+        with pytest.raises(RuntimeError, match="export_lpips_weights"):
+            get_lpips(img, img)
+
+    def test_forward_structure_with_synthetic_weights(self, tmp_path,
+                                                      monkeypatch):
+        """d(x,x)=0, d(x,y)>0, symmetric — on a tiny same-structure net."""
+        from vf_nerf_tpu.utils.metrics import get_lpips, lpips_available
+        path = str(tmp_path / "tiny_lpips.npz")
+        _write_tiny_lpips_npz(path)
+        monkeypatch.setenv("VF_NERF_LPIPS_WEIGHTS", path)
+        assert lpips_available()
+        rng = np.random.RandomState(3)
+        a = rng.rand(32, 32, 3).astype(np.float32)
+        b = rng.rand(32, 32, 3).astype(np.float32)
+        assert get_lpips(a, a) == pytest.approx(0.0, abs=1e-6)
+        d_ab, d_ba = get_lpips(a, b), get_lpips(b, a)
+        assert d_ab > 1e-4
+        assert d_ab == pytest.approx(d_ba, rel=1e-5)
+
+    def test_real_weights_parity(self):
+        """Runs only where a real exported LPIPS npz is present."""
+        from vf_nerf_tpu.utils.metrics import get_lpips, lpips_available
+        if not lpips_available():
+            pytest.skip("no LPIPS weights npz (export with "
+                        "tools/export_lpips_weights.py online, then set "
+                        "$VF_NERF_LPIPS_WEIGHTS)")
+        rng = np.random.RandomState(4)
+        a = rng.rand(64, 64, 3).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.randn(64, 64, 3).astype(np.float32), 0, 1)
+        d = get_lpips(a, b)
+        assert 0.0 < d < 1.0

@@ -85,9 +85,15 @@ def laplace_density(x: jnp.ndarray,
 
 def sdf_density(sdf: jnp.ndarray, beta: jnp.ndarray,
                 beta_min: float = 1e-4) -> jnp.ndarray:
-    """VolSDF-style Laplace density of an SDF; reference ``:51-77,301-319``."""
+    """VolSDF-style Laplace density of an SDF; reference ``SdfDensity :51-77``."""
     b = jnp.abs(beta) + beta_min
     return (1.0 / b) * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / b))
+
+
+# Reference ``LaplaceDensitySdf :301-319`` is byte-identical math to
+# ``SdfDensity`` (same ``density_func`` and ``get_beta``; it only drops the
+# unused ``cutoff`` kwarg), so one function covers both alternates.
+laplace_density_sdf = sdf_density
 
 
 def simple_density(x: jnp.ndarray) -> jnp.ndarray:
