@@ -50,8 +50,88 @@ class TrainState(struct.PyTreeNode):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def _duplicate_vf_optimizer(schedule: Any, clip_norm: float,
+                            weight_decay: float, b1: float = 0.9,
+                            b2: float = 0.999, eps: float = 1e-8
+                            ) -> optax.GradientTransformation:
+    """Clip + Adam reproducing the reference's duplicate-parameter quirk.
+
+    With fine sampling on, the reference facade's ``parameters()``
+    (``vector_field_nerf.py:127-137``) returns the VF network's tensors TWICE
+    (``fine_vector_field_network`` aliases ``vector_field_network``, ``:36``).
+    torch then (verified empirically against torch 2.x):
+
+    - ``clip_grad_norm_`` counts the VF grads twice in the global norm
+      (``norm = sqrt(2·‖g_vf‖² + ‖g_rest‖²)``) and multiplies the shared VF
+      grad tensor by the clip coefficient twice (→ ``coef²``);
+    - ``Adam.step`` runs the full moment/bias-correction update twice per
+      iteration for VF params with shared state (step counts 2t−1, 2t).
+
+    Every reference training run uses the default ``n_importance=100``, so
+    reference-trained results embed these dynamics; this transformation
+    reproduces them exactly for the top-level ``"vf"`` subtree (pinned by
+    ``tests/test_grad_parity.py::test_training_trajectory_parity``).
+    """
+
+    def init(params):
+        return {"mu": jax.tree.map(jnp.zeros_like, params),
+                "nu": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        t = state["count"] + 1  # 1-based iteration number
+        lr = schedule(state["count"])
+
+        # --- clip (torch clip_grad_norm_: coef = c/(norm+1e-6), clamp ≤1) --
+        sq = jax.tree.map(lambda g: jnp.sum(jnp.square(g)), grads)
+        vf_sq = jax.tree.reduce(jnp.add, sq["vf"], jnp.zeros(()))
+        total_sq = jax.tree.reduce(jnp.add, sq, jnp.zeros(()))
+        total_norm = jnp.sqrt(total_sq + vf_sq)  # vf counted twice
+        coef = jnp.minimum(clip_norm / (total_norm + 1e-6), 1.0)
+        grads = {k: jax.tree.map(
+            lambda g, c=(coef ** 2 if k == "vf" else coef): g * c, v)
+            for k, v in grads.items()}
+        if weight_decay > 0 and params is not None:
+            grads = jax.tree.map(lambda g, p: g + weight_decay * p,
+                                 grads, params)
+
+        def adam_sub(m, v, g, step):
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * jnp.square(g)
+            mhat = m / (1.0 - b1 ** step)
+            vhat = v / (1.0 - b2 ** step)
+            return m, v, mhat / (jnp.sqrt(vhat) + eps)
+
+        def leaf_update(m, v, g, double):
+            if double:  # two torch Adam passes with shared state per step
+                m, v, u1 = adam_sub(m, v, g, 2 * t - 1)
+                m, v, u2 = adam_sub(m, v, g, 2 * t)
+                return m, v, -lr * (u1 + u2)
+            m, v, u = adam_sub(m, v, g, t)
+            return m, v, -lr * u
+
+        new_mu, new_nu, updates = {}, {}, {}
+        # NamedTuple leaves (DensityParams) are tuple subclasses, so the
+        # triplet extraction stops only at *plain* tuples.
+        is_triplet = lambda x: type(x) is tuple  # noqa: E731
+        for k, g_sub in grads.items():
+            triplets = jax.tree.map(
+                lambda m, v, g, d=(k == "vf"): leaf_update(m, v, g, d),
+                state["mu"][k], state["nu"][k], g_sub)
+            new_mu[k] = jax.tree.map(lambda tr: tr[0], triplets,
+                                     is_leaf=is_triplet)
+            new_nu[k] = jax.tree.map(lambda tr: tr[1], triplets,
+                                     is_leaf=is_triplet)
+            updates[k] = jax.tree.map(lambda tr: tr[2], triplets,
+                                      is_leaf=is_triplet)
+        return updates, {"mu": new_mu, "nu": new_nu, "count": t}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: SchedulerConfig,
-                   decay_steps: Optional[int] = None
+                   decay_steps: Optional[int] = None,
+                   duplicate_vf: bool = False
                    ) -> Tuple[optax.GradientTransformation, Any]:
     """Adam + exponential per-step LR decay + global-norm clip.
 
@@ -60,11 +140,18 @@ def make_optimizer(cfg: SchedulerConfig,
     grad clipping in the trainer (``vector_field_nerf_train.py:255-256``).
     torch Adam's L2 weight decay (in-gradient) maps to
     ``add_decayed_weights`` *before* the Adam moments.
+
+    ``duplicate_vf=True`` reproduces the reference's duplicate-parameter
+    quirk for the ``"vf"`` subtree (see :func:`_duplicate_vf_optimizer`) —
+    active in the reference whenever fine sampling is configured.
     """
     steps = decay_steps if decay_steps is not None else cfg.lr_decay_steps
     gamma = cfg.lr_decay_factor ** (1.0 / max(steps, 1))
     schedule = optax.exponential_decay(cfg.lr, transition_steps=1,
                                        decay_rate=gamma)
+    if duplicate_vf:
+        return _duplicate_vf_optimizer(schedule, cfg.clip_norm,
+                                       cfg.weight_decay), schedule
     parts = [optax.clip_by_global_norm(cfg.clip_norm)]
     if cfg.weight_decay > 0:
         parts.append(optax.add_decayed_weights(cfg.weight_decay))
@@ -84,8 +171,12 @@ class VectorFieldNerf:
 
         key = self._next_key()
         variables = self.modules.init_variables(key)
+        # Fine sampling duplicates the VF params in the reference optimizer
+        # (parameters() :127-137) — reproduce those dynamics (quirk).
+        self._duplicate_vf = config.ray_sampler_config.n_importance > 0
         self.optimizer, self.lr_schedule = make_optimizer(
-            config.scheduler_config, decay_steps)
+            config.scheduler_config, decay_steps,
+            duplicate_vf=self._duplicate_vf)
         self.state = TrainState(
             params=variables["params"],
             batch_stats=variables["batch_stats"],
@@ -278,7 +369,8 @@ class VectorFieldNerf:
     def reset_scheduler(self, num_steps: Optional[int] = None) -> None:
         """Fresh Adam + schedule (reference ``reset_scheduler``, ``:115-125``)."""
         self.optimizer, self.lr_schedule = make_optimizer(
-            self.config.scheduler_config, num_steps)
+            self.config.scheduler_config, num_steps,
+            duplicate_vf=self._duplicate_vf)
         self.state = self.state.replace(
             opt_state=self.optimizer.init(self.state.params),
             step=jnp.zeros((), jnp.int32))
