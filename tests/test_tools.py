@@ -201,23 +201,10 @@ class TestExtras:
 
 
 def _import_ref_utils():
-    """utils.utils imports several unavailable packages at module level
-    (open3d, trimesh, lpips, skimage, sklearn, requests, imageio needs
-    nothing) — stub them so the metric functions are importable."""
-    import sys
-    import types
-    for name in ("open3d", "trimesh", "lpips", "skimage", "requests",
-                 "sklearn", "sklearn.cluster", "torchvision",
-                 "torchvision.transforms"):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            if name == "sklearn.cluster":
-                mod.KMeans = object
-            if name == "torchvision.transforms":
-                mod.ToTensor = mod.Normalize = mod.Compose = object
-            if name == "trimesh":
-                mod.Trimesh = object
-            sys.modules[name] = mod
+    """utils.utils imports several unavailable packages at module level —
+    install the shared functional stubs, then import it."""
+    from reference_oracle import install_reference_stubs
+    install_reference_stubs()
     import utils.utils as ref_utils
     return ref_utils
 
