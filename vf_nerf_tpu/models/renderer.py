@@ -80,6 +80,17 @@ class RenderStatics:
     # pays a large per-ray gather to re-sort samples — measured slower on
     # v5e (gathers are expensive); off by default.
     reuse_coarse: bool = False
+    # Pallas kernel paths for the fast-eval pipeline (independently
+    # toggleable; parity pinned by tests/test_pallas_kernels.py, measured
+    # TPU comparison in PARITY.md):
+    # - pallas_mlp: the all-layers-fused VMEM MLP (``ops/fused_mlp``) —
+    #   measured SLOWER than XLA's fused chain at the production shapes,
+    #   kept off by default;
+    # - pallas_march: the fused ray-march kernel (``ops/ray_march``:
+    #   window-cos → Laplace density → VolSDF weights → composite in one
+    #   pallas_call; volsdf rendering only).
+    pallas_mlp: bool = False
+    pallas_march: bool = False
 
     @staticmethod
     def from_config(cfg: VFNerfConfig, n_fine: int, train: bool,
@@ -228,19 +239,20 @@ class VFNerfModules:
                              + 1)
         return vf_w, rn_w
 
-    def vf_apply_folded(self, vf_weights, points: jnp.ndarray) -> jnp.ndarray:
+    def vf_apply_folded(self, vf_weights, points: jnp.ndarray,
+                        use_pallas: bool = False) -> jnp.ndarray:
         from vf_nerf_tpu.ops.embedding import positional_encoding
-        from vf_nerf_tpu.ops.fused_mlp import mlp_reference
+        from vf_nerf_tpu.ops.fused_mlp import fused_mlp
         cfg = self.cfg.vf_net_config
         emb = positional_encoding(points, cfg.embedder_multires)
         skip = (cfg.skip_connection_in or [None])[0]
-        return mlp_reference(vf_weights, emb, skip_at=skip,
-                             final_act="tanh")
+        return fused_mlp(vf_weights, emb, skip_at=skip, final_act="tanh",
+                         block_points=512, use_pallas=use_pallas)
 
     def render_apply_folded(self, rn_weights, points, normals, view_dirs,
-                            feats) -> jnp.ndarray:
+                            feats, use_pallas: bool = False) -> jnp.ndarray:
         from vf_nerf_tpu.ops.embedding import positional_encoding
-        from vf_nerf_tpu.ops.fused_mlp import mlp_reference
+        from vf_nerf_tpu.ops.fused_mlp import fused_mlp
         cfg = self.cfg.rendering_net_config
         if cfg.embedder_multires > 0:
             view_dirs = positional_encoding(view_dirs, cfg.embedder_multires)
@@ -253,8 +265,8 @@ class VFNerfModules:
                 cfg.feature_vector_dims > 0:
             parts.append(feats)
         x = jnp.concatenate(parts, axis=-1)
-        return mlp_reference(rn_weights, x, skip_at=None,
-                             final_act="sigmoid")
+        return fused_mlp(rn_weights, x, skip_at=None, final_act="sigmoid",
+                         block_points=512, use_pallas=use_pallas)
 
 
 def get_density(normals: jnp.ndarray,
@@ -330,6 +342,26 @@ def render_rays(modules: VFNerfModules,
             modules.supports_folding())
     if fast:
         vf_w, rn_w = modules.folded_weights(variables)
+    # Pallas fast paths (volsdf only — the trained/production rendering mode).
+    pallas = fast and statics.pallas_mlp
+    pallas_march = (fast and statics.pallas_march and
+                    statics.rendering == "volsdf")
+
+    def _march(normals_rs, z_rs, rgb_rs, dparams, fine: bool):
+        """Fused window-cos→density→weights→composite (ops/ray_march)."""
+        from vf_nerf_tpu.ops.ray_march import fused_ray_march
+        n_taps = statics.n_window
+        if statics.anneal_mode == "anneal_fine" and fine:
+            w = window_weights
+        else:
+            w = jnp.full((n_taps,), 1.0 / n_taps, dtype=normals_rs.dtype)
+        return fused_ray_march(
+            normals_rs, ray_dirs, z_rs, rgb_rs, dparams, w,
+            beta_bounds=statics.beta_bounds, scale_min=statics.scale_min,
+            mean_bounds=statics.mean_bounds, cutoff=statics.cutoff,
+            dir_to_normal_th=statics.dir_to_normal_th,
+            normalize=statics.normalize_rendering,
+            white_background=statics.white_background)
 
     # ---- coarse pass (gradient-stopped; steers the fine sampler only) ------
     z_coarse = samplers.uniform_z_vals(k_coarse, n_rays, statics.n_coarse,
@@ -343,12 +375,13 @@ def render_rays(modules: VFNerfModules,
         if reuse:
             # Full VF outputs at the coarse depths — reused in the fine pass.
             vf_out_coarse = modules.vf_apply_folded(
-                vf_w, pts_coarse.reshape(-1, 3))
+                vf_w, pts_coarse.reshape(-1, 3), use_pallas=pallas)
             normals_coarse = vf_out_coarse[:, :3].reshape(
                 n_rays, statics.n_coarse, 3)
         else:
             normals_coarse = modules.vf_apply_folded(
-                vf_w, pts_coarse.reshape(-1, 3))[:, :3].reshape(
+                vf_w, pts_coarse.reshape(-1, 3),
+                use_pallas=pallas)[:, :3].reshape(
                     n_rays, statics.n_coarse, 3)
     else:
         def _coarse(variables, pts_flat):
@@ -359,13 +392,20 @@ def render_rays(modules: VFNerfModules,
             _coarse(variables, pts_coarse.reshape(-1, 3))
         ).reshape(n_rays, statics.n_coarse, 3)
 
-    dirs_coarse = jnp.repeat(ray_dirs[:, None, :], statics.n_coarse, axis=1)
-    sigma_coarse = get_density(normals_coarse, dirs_coarse,
-                               jax.tree_util.tree_map(
-                                   jax.lax.stop_gradient, density_params),
-                               window_weights, statics, fine=False)
-    weights_coarse = jax.lax.stop_gradient(
-        _weights_from_density(z_coarse, sigma_coarse, statics))
+    sg_density = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                        density_params)
+    if pallas_march:
+        _, _, weights_coarse = _march(
+            normals_coarse, z_coarse,
+            jnp.zeros(normals_coarse.shape, normals_coarse.dtype),
+            sg_density, fine=False)
+    else:
+        dirs_coarse = jnp.repeat(ray_dirs[:, None, :], statics.n_coarse,
+                                 axis=1)
+        sigma_coarse = get_density(normals_coarse, dirs_coarse, sg_density,
+                                   window_weights, statics, fine=False)
+        weights_coarse = jax.lax.stop_gradient(
+            _weights_from_density(z_coarse, sigma_coarse, statics))
 
     # ---- fine pass (the trained path) --------------------------------------
     fine_range = modules.cfg.ray_sampler_config.fine_range
@@ -377,7 +417,7 @@ def render_rays(modules: VFNerfModules,
                 perturb=statics.perturb)
             pts_extra = samplers.points_from_z(cam_loc, directions, z_extra)
             vf_out_extra = modules.vf_apply_folded(
-                vf_w, pts_extra.reshape(-1, 3))
+                vf_w, pts_extra.reshape(-1, 3), use_pallas=pallas)
             z_cat = jnp.concatenate([z_coarse, z_extra], axis=-1)
             order = jnp.argsort(z_cat, axis=-1)
             z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
@@ -404,7 +444,8 @@ def render_rays(modules: VFNerfModules,
         points_flat = points.reshape(-1, 3)
         bn_updates: Dict[str, Any] = {}
         if fast:
-            vf_out = modules.vf_apply_folded(vf_w, points_flat)
+            vf_out = modules.vf_apply_folded(vf_w, points_flat,
+                                             use_pallas=pallas)
         elif statics.train:
             # Train-mode BN: the fine (primary) pass updates running stats.
             vf_out, vf_stats = modules.vf_apply_mutable(variables,
@@ -421,14 +462,11 @@ def render_rays(modules: VFNerfModules,
     feats_flat = vf_out[:, 3:3 + feat_dim]
     normals = normals_flat.reshape(n_rays, n_samples, 3)
 
-    sigma = get_density(normals, dirs_rep, density_params, window_weights,
-                        statics, fine=True)
-    weights = _weights_from_density(z_vals, sigma, statics)
-
     if fast:
         rgb_samples = modules.render_apply_folded(rn_w, points_flat,
                                                   normals_flat, dirs_flat,
-                                                  feats_flat)
+                                                  feats_flat,
+                                                  use_pallas=pallas)
     elif statics.train:
         rgb_samples, rn_stats = modules.render_apply_mutable(
             variables, points_flat, normals_flat, dirs_flat, feats_flat)
@@ -439,9 +477,17 @@ def render_rays(modules: VFNerfModules,
                                            normals_flat, dirs_flat,
                                            feats_flat, train=statics.train)
     rgb_samples = rgb_samples.reshape(n_rays, n_samples, 3)
-    rgb, depth = compositing.composite_rgb_depth(
-        weights, rgb_samples, z_vals,
-        white_background=statics.white_background)
+
+    if pallas_march:
+        rgb, depth, weights = _march(normals, z_vals, rgb_samples,
+                                     density_params, fine=True)
+    else:
+        sigma = get_density(normals, dirs_rep, density_params,
+                            window_weights, statics, fine=True)
+        weights = _weights_from_density(z_vals, sigma, statics)
+        rgb, depth = compositing.composite_rgb_depth(
+            weights, rgb_samples, z_vals,
+            white_background=statics.white_background)
 
     out: Dict[str, jnp.ndarray] = {
         "rgb": rgb,

@@ -107,7 +107,8 @@ def fused_mlp(weights: Weights,
               skip_at: Optional[int] = None,
               final_act: str = "none",
               block_points: int = 1024,
-              use_pallas: bool = True) -> jnp.ndarray:
+              use_pallas: bool = True,
+              interpret: Optional[bool] = None) -> jnp.ndarray:
     """All-layers-fused MLP forward.
 
     :param weights: folded [(kernel, bias)] list.
@@ -115,9 +116,13 @@ def fused_mlp(weights: Weights,
     :param skip_at: layer index receiving the input skip-concat (÷√2).
     :param block_points: points per kernel instance (VMEM activations are
         ``block_points × width``; 1024×256 f32 = 1 MB).
+    :param interpret: Pallas interpreter mode; defaults to on for the CPU
+        backend (tests) and off on TPU.
     """
     if not use_pallas:
         return mlp_reference(weights, x, skip_at, final_act)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
 
     n = x.shape[0]
     out_dim = weights[-1][0].shape[1]
@@ -148,5 +153,6 @@ def fused_mlp(weights: Weights,
         out_specs=pl.BlockSpec((block_points, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], out_dim), x.dtype),
+        interpret=interpret,
     )(*args)
     return out[:n] if pad else out
