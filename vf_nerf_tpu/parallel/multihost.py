@@ -23,22 +23,34 @@ from vf_nerf_tpu.parallel.mesh import DATA_AXIS
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
-    """Wire up multi-process JAX (no-op for single-process runs).
+                         process_id: Optional[int] = None) -> bool:
+    """Wire up multi-process JAX. Returns True iff a >1-process cluster is up.
 
     In managed TPU environments the arguments are auto-detected; pass them
-    explicitly for manual clusters.
+    explicitly for manual clusters. An explicitly-requested cluster that
+    fails to initialize RAISES — a real misconfiguration must not silently
+    degrade to single-process training. Only the zero-argument auto-detect
+    path is allowed to fall back (with a logged warning).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    kwargs = {}
+    import logging
+    log = logging.getLogger(__name__)
+
+    # NOTE: must not touch the XLA backend before jax.distributed.initialize
+    # (jax.process_count()/jax.devices() would initialize it single-process).
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_count() > 1
     try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        pass  # single-process / no cluster env — run locally
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError) as exc:
+        log.warning("multi-host auto-detect failed (%s); continuing "
+                    "single-process", exc)
+        return False
+    return jax.process_count() > 1
 
 
 def global_mesh() -> Mesh:

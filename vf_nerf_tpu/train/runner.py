@@ -52,6 +52,14 @@ class VectorFieldNerfRunner:
         mesh_lib.apply_platform(
             config.vf_nerf_config.device_config.platform)
 
+        # Multi-host (single-program SPMD): auto-detect a cluster FIRST —
+        # jax.distributed.initialize must run before anything touches the
+        # XLA backend. A real cluster makes the mesh span every host's chips
+        # and each host feed its local ray slice (parallel/multihost.py); the
+        # no-cluster fallback is logged, never silent.
+        from vf_nerf_tpu.parallel import multihost
+        self.multihost = multihost.initialize_multihost()
+
         # Dataset (loads everything to host RAM, reference :36).
         self.dataset = dataset_dict[config.dataset_config.dataset_name](
             config.dataset_config)
@@ -70,11 +78,16 @@ class VectorFieldNerfRunner:
         self._load_vf_init(init_path)
 
         # Device mesh for data-parallel ray sharding.
-        n_dev = config.vf_nerf_config.device_config.num_devices
-        avail = len(jax.devices())
-        self.n_devices = min(n_dev, avail) if n_dev > 0 else avail
-        self.mesh = mesh_lib.make_mesh(self.n_devices) \
-            if self.n_devices > 1 else None
+        if self.multihost:
+            from vf_nerf_tpu.parallel import multihost
+            self.mesh = multihost.global_mesh()
+            self.n_devices = len(jax.devices())
+        else:
+            n_dev = config.vf_nerf_config.device_config.num_devices
+            avail = len(jax.devices())
+            self.n_devices = min(n_dev, avail) if n_dev > 0 else avail
+            self.mesh = mesh_lib.make_mesh(self.n_devices) \
+                if self.n_devices > 1 else None
 
         self.create_output_folders()
         self.load_model()
@@ -203,6 +216,11 @@ class VectorFieldNerfRunner:
         n = self._batch_rays()
         trimmed = {k: v[:n] for k, v in batch.items() if v.size > 0}
         packed = pack_batch(trimmed)
+        if self.multihost:
+            # Each host contributes its local slice of the global batch.
+            from vf_nerf_tpu.parallel import multihost
+            return multihost.feed_global_batch(
+                self.mesh, {"packed": packed})["packed"]
         if self.mesh is not None:
             return mesh_lib.shard_batch(self.mesh, packed)
         return jnp.asarray(packed)
