@@ -218,6 +218,13 @@ class TestEndToEnd:
         evals = os.path.join(root, "evals")
         common = dict(resolution=24, eval_root_folder=evals, chunk_size=64,
                       distance_thresh=0.1, num_quadrants=8)
+        # tsdf-mesh integrates previously rendered depths (same prerequisite
+        # as the reference methods.py:613-665) — render first if this test
+        # runs in isolation.
+        rendered = os.path.join(evals, "synth_boxroom", "test_run_latest",
+                                "rendered_images")
+        if not os.path.isdir(rendered):
+            evaluate(config, method="render-images", **common)
         for method in ("marching-cubes-mesh", "quadrant-marching-cubes-mesh",
                        "tsdf-mesh", "3d-metrics", "plot-overall-scene"):
             evaluate(config, method=method, **common)

@@ -218,6 +218,25 @@ class TestClassicMC:
             items = list(quadrant_translations(n, 2.0))
             assert len(items) == expected
 
+    @pytest.mark.parametrize("n,parts", [(8, 2), (64, 4)])
+    def test_quadrant_tiling_covers_cube(self, n, parts):
+        """The 8/64 sub-cubes tile [-scale, scale]³ exactly (reference
+        methods.py:101-124 grid layout)."""
+        scale = 2.0
+        items = list(quadrant_translations(n, scale))
+        sub = scale / parts
+        per_axis = np.array(sorted({round(float(t[0]), 6)
+                                    for t, _ in items}))
+        expected = -scale + sub * (2 * np.arange(parts) + 1)
+        np.testing.assert_allclose(per_axis, expected, atol=1e-6)
+        assert all(s == sub for _, s in items)
+
+    def test_quadrant_35_is_27_plus_8(self):
+        items = list(quadrant_translations(35, 2.0))
+        scales = [s for _, s in items]
+        assert scales[:27] == [2.0 / 3.0] * 27      # 3×3×3 at scale/3
+        assert scales[27:] == [1.0] * 8             # octants at scale/2
+
 
 class TestTSDF:
     def test_fuse_box_depths(self):
