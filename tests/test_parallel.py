@@ -181,3 +181,51 @@ class TestMultiHost:
                              capture_output=True, timeout=300, env=env)
         assert out.returncode == 0, out.stdout + out.stderr
         assert "RESULT False" in out.stdout, out.stdout + out.stderr
+
+
+class TestMeshEval:
+    def test_sharded_render_equals_single_device(self):
+        """enable_mesh_eval shards render chunks over the data mesh,
+        bit-equal to the single-device render (same seed → same PRNG keys;
+        every render op is per-ray)."""
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+
+        cfg = tiny_config(n_samples=12, n_importance=4, perturb=False)
+        n_rays = 64
+        rng = np.random.RandomState(0)
+        uv = rng.uniform(0, 30, (n_rays, 2)).astype(np.float32)
+        pose = np.tile(np.eye(4, dtype=np.float32), (n_rays, 1, 1))
+        intr = np.tile(np.eye(4, dtype=np.float32), (n_rays, 1, 1))
+        intr[:, 0, 0] = intr[:, 1, 1] = 25.0
+        intr[:, 0, 2], intr[:, 1, 2] = 15.0, 12.0
+
+        base = VectorFieldNerf(cfg, seed=7, decay_steps=100)
+        base.eval()
+        out_single = base.render(pose, uv, intr, epoch=0)
+
+        sharded = VectorFieldNerf(cfg, seed=7, decay_steps=100)
+        sharded.eval()
+        sharded.enable_mesh_eval(mesh_lib.make_mesh(8))
+        out_mesh = sharded.render(pose, uv, intr, epoch=0)
+
+        for key in ("rgb", "depth", "z_vals", "weights", "normals"):
+            np.testing.assert_array_equal(np.asarray(out_mesh[key]),
+                                          np.asarray(out_single[key]),
+                                          err_msg=key)
+
+    def test_indivisible_chunk_falls_back(self):
+        """Ray counts that don't divide the mesh stay single-device."""
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+
+        cfg = tiny_config(n_samples=12, n_importance=4, perturb=False)
+        model = VectorFieldNerf(cfg, seed=7, decay_steps=100)
+        model.eval()
+        model.enable_mesh_eval(mesh_lib.make_mesh(8))
+        n_rays = 13  # not divisible by 8
+        rng = np.random.RandomState(1)
+        uv = rng.uniform(0, 30, (n_rays, 2)).astype(np.float32)
+        pose = np.tile(np.eye(4, dtype=np.float32), (n_rays, 1, 1))
+        intr = np.tile(np.eye(4, dtype=np.float32), (n_rays, 1, 1))
+        intr[:, 0, 0] = intr[:, 1, 1] = 25.0
+        out = model.render(pose, uv, intr, epoch=0)
+        assert out["rgb"].shape == (n_rays, 3)

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 
+import jax
+
 from vf_nerf_tpu.config.parser import eval_argparser, parse_config
 from vf_nerf_tpu.config.schema import VFRunnerConfig
 from vf_nerf_tpu.datasets import dataset_dict
@@ -49,6 +51,10 @@ def evaluate(config: VFRunnerConfig, method: str, resolution: int,
     io_utils.mkdir_ifnotexists(eval_folder)
 
     model.eval()
+    if len(jax.devices()) > 1:
+        # Shard render chunks over all chips (SURVEY §5.8); bit-equal to
+        # single-device rendering, so it is always safe to enable.
+        model.enable_mesh_eval()
     print("Evaluating the model.")
 
     if method in ("marching-cubes-mesh", "all"):

@@ -194,6 +194,8 @@ class VectorFieldNerf:
         # near/far come from the dataset (trainer :43-45); defaults from conf.
         self.near = config.ray_sampler_config.near
         self.far = config.ray_sampler_config.far
+        # Optional data mesh for sharded eval rendering (enable_mesh_eval).
+        self.eval_mesh = None
 
     # ------------------------------------------------------------------ rng
     def _next_key(self) -> jax.Array:
@@ -239,6 +241,18 @@ class VectorFieldNerf:
         return jax.jit(fn)
 
     # ------------------------------------------------------------- render
+    def enable_mesh_eval(self, mesh=None) -> None:
+        """Shard eval render chunks over a data mesh (SURVEY §5.8: "eval
+        chunking becomes device-sharded chunks"). State is replicated once;
+        every subsequent ``render`` call whose ray count divides the device
+        count runs SPMD with the rays split across chips. Bit-equal to the
+        single-device render (JAX PRNG bits depend only on (key, shape) and
+        every render op is per-ray) — pinned by
+        ``tests/test_parallel.py::TestMeshEval``."""
+        from vf_nerf_tpu.parallel import mesh as mesh_lib
+        self.eval_mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.state = mesh_lib.replicate_state(self.eval_mesh, self.state)
+
     def render(self, pose, pixels, intrinsics, epoch: int,
                white: bool = False) -> Dict[str, jnp.ndarray]:
         """Facade render (reference ``render``, ``:216-338``): anneal, ray
@@ -247,8 +261,16 @@ class VectorFieldNerf:
         self.update_annealing(epoch)
         statics = self.render_statics(white_background=white)
         fn = self._jitted_render(statics)
-        return fn(self.state.variables(), jnp.asarray(pixels),
-                  jnp.asarray(pose), jnp.asarray(intrinsics),
+        uv = jnp.asarray(pixels)
+        pose_j = jnp.asarray(pose)
+        intr_j = jnp.asarray(intrinsics)
+        mesh = getattr(self, "eval_mesh", None)
+        if mesh is not None and uv.shape[0] % mesh.devices.size == 0:
+            from vf_nerf_tpu.parallel import mesh as mesh_lib
+            sharding = mesh_lib.ray_sharded(mesh)
+            uv, pose_j, intr_j = (jax.device_put(x, sharding)
+                                  for x in (uv, pose_j, intr_j))
+        return fn(self.state.variables(), uv, pose_j, intr_j,
                   jnp.asarray(self.near, jnp.float32),
                   jnp.asarray(self.far, jnp.float32),
                   jnp.asarray(self.window_weights), self._next_key())
