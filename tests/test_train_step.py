@@ -137,3 +137,62 @@ class TestTrainStep:
         assert not np.allclose(before.beta, after.beta) or \
             not np.allclose(before.mean, after.mean) or \
             not np.allclose(before.scale, after.scale)
+
+
+def test_scan_step_equals_sequential_steps():
+    """make_scan_train_step(K batches) ≡ K sequential make_train_step calls,
+    bit-exact in params, opt state, step count, and metric sums."""
+    from vf_nerf_tpu.parallel.train_step import (make_scan_train_step,
+                                                 pack_batch,
+                                                 zero_metric_sums)
+
+    cfg = tiny_config()
+    modules = VFNerfModules(cfg)
+    variables = modules.init_variables(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(cfg.scheduler_config, decay_steps=1000,
+                                  duplicate_vf=True)
+    n_rays = 32
+    statics = RenderStatics.from_config(cfg, n_fine=6, train=False)
+    sup = SupervisionStatics.from_config(
+        cfg, "exterior_synthetic", n_rays=n_rays,
+        n_samples=statics.n_coarse + statics.n_fine, border_radius=0.15)
+    seq_step = make_train_step(modules, optimizer, statics, sup,
+                               LOSS_WEIGHTS, LOSS_CONFIG)
+    scan_step = make_scan_train_step(modules, optimizer, statics, sup,
+                                     LOSS_WEIGHTS, LOSS_CONFIG)
+
+    ds, _ = make_batch(n_rays)
+    rng = np.random.RandomState(0)
+    packs = [pack_batch(b) for b in ds.epoch_batches(rng)][:4]
+    assert len(packs) >= 2
+    common = dict(base_key=jax.random.PRNGKey(7),
+                  epoch=jnp.asarray(0, jnp.int32),
+                  window_weights=jnp.full((11,), 0.09),
+                  near=jnp.float32(0.0), far=jnp.float32(4.0),
+                  centroid=jnp.zeros(3))
+
+    def fresh_state():
+        v = jax.tree.map(jnp.copy, variables)
+        return TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                          opt_state=optimizer.init(v["params"]),
+                          step=jnp.zeros((), jnp.int32))
+
+    state_a, sums_a = fresh_state(), zero_metric_sums()
+    for p in packs:
+        state_a, sums_a = seq_step(state_a, sums_a, jnp.asarray(p), **common)
+
+    state_b, sums_b = fresh_state(), zero_metric_sums()
+    state_b, sums_b = scan_step(state_b, sums_b,
+                                jnp.asarray(np.stack(packs)), **common)
+
+    assert int(state_b.step) == int(state_a.step) == len(packs)
+    for k in sums_a:
+        np.testing.assert_array_equal(np.asarray(sums_a[k]),
+                                      np.asarray(sums_b[k]), err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state_a.params, state_b.params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state_a.opt_state, state_b.opt_state)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state_a.batch_stats,
+        state_b.batch_stats)

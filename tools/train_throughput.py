@@ -65,17 +65,27 @@ def main() -> None:
     n_rays = runner._batch_rays()
     steps_per_epoch = len(runner.dataset)
 
-    print("== warmup epoch (compile) ==", flush=True)
+    print("== warmup epochs (compile + first relay execution) ==", flush=True)
     runner.dataset.sample_new_images()
     t0 = time.perf_counter()
+    import jax
+    # Two epochs + a hard sync: the scan dispatch is async and its FIRST
+    # execution through the relay pays the remote compile (~1-3 min); the
+    # deferred epoch-log fetch would otherwise absorb that wait inside the
+    # timed region.
     runner.train_epoch(0)
+    runner.train_epoch(1)
+    runner._resolve_pending_log()
+    int(jax.device_get(runner.model.state.step))
     print(f"warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
     print(f"== timing {args.epochs} epochs x {steps_per_epoch} steps "
           f"x {n_rays} rays ==", flush=True)
     t0 = time.perf_counter()
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(2, args.epochs + 2):
         runner.train_epoch(epoch)
+    runner._resolve_pending_log()
+    int(jax.device_get(runner.model.state.step))
     elapsed = time.perf_counter() - t0
     total_rays = args.epochs * steps_per_epoch * n_rays
     per_step_ms = elapsed / (args.epochs * steps_per_epoch) * 1e3

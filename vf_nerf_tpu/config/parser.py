@@ -94,7 +94,8 @@ def parse_config(scene: str,
     scheduler_config = SchedulerConfig(**conf["scheduler"])
 
     platform = "" if gpu == "auto" else gpu
-    device_config = DeviceConfig(platform=platform, num_devices=num_devices)
+    device_config = DeviceConfig(platform=platform, num_devices=num_devices,
+                                 **conf.get("device", {}))
 
     vf_nerf_config = VFNerfConfig(vf_net_config, render_net_config,
                                   ray_sampler_config, device_config,

@@ -103,6 +103,11 @@ class DeviceConfig:
 
     platform: str = ""        # "" = default JAX platform
     num_devices: int = 0
+    # Train steps fused into one device dispatch via lax.scan (0 = whole
+    # epoch). Amortizes the per-dispatch host↔device latency of
+    # remote-attached TPUs; semantics are bit-identical to per-step
+    # dispatch (parallel/train_step.make_scan_train_step).
+    steps_per_dispatch: int = 64
 
 
 @dataclass

@@ -148,22 +148,15 @@ def zero_metric_sums() -> Dict[str, jnp.ndarray]:
     return {k: jnp.zeros((), jnp.float32) for k in METRIC_KEYS}
 
 
-def make_train_step(modules: VFNerfModules,
-                    optimizer: optax.GradientTransformation,
-                    statics: RenderStatics,
-                    sup: SupervisionStatics,
-                    loss_weights: VFLossWeights,
-                    loss_config: VFLossConfig
-                    ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jitted train step. Donates the state + metric-sum buffers
-    (in-place update on device; no HBM copy per step).
-
-    Remote-TPU-shaped: everything per-step happens inside the one compiled
-    call — the PRNG key is derived on device (``fold_in(base_key, step)``)
-    and the per-term metrics accumulate into a donated on-device sum tree —
-    so the host's per-step work is one dispatch plus the batch feed; scalars
-    are fetched once per epoch (host↔device round-trips through a
-    remote-attached TPU cost ~50-100 ms each)."""
+def _train_step_body(modules: VFNerfModules,
+                     optimizer: optax.GradientTransformation,
+                     statics: RenderStatics,
+                     sup: SupervisionStatics,
+                     loss_weights: VFLossWeights,
+                     loss_config: VFLossConfig):
+    """The un-jitted single-step body shared by :func:`make_train_step`
+    (one dispatch per step) and :func:`make_scan_train_step` (one dispatch
+    per K steps via ``lax.scan``)."""
 
     def step(state: TrainState,
              metric_sums: Dict[str, jnp.ndarray],
@@ -220,4 +213,69 @@ def make_train_step(modules: VFNerfModules,
         new_sums = {k: metric_sums[k] + metrics[k] for k in METRIC_KEYS}
         return new_state, new_sums
 
+    return step
+
+
+def make_train_step(modules: VFNerfModules,
+                    optimizer: optax.GradientTransformation,
+                    statics: RenderStatics,
+                    sup: SupervisionStatics,
+                    loss_weights: VFLossWeights,
+                    loss_config: VFLossConfig
+                    ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step. Donates the state + metric-sum buffers
+    (in-place update on device; no HBM copy per step).
+
+    Remote-TPU-shaped: everything per-step happens inside the one compiled
+    call — the PRNG key is derived on device (``fold_in(base_key, step)``)
+    and the per-term metrics accumulate into a donated on-device sum tree —
+    so the host's per-step work is one dispatch plus the batch feed; scalars
+    are fetched once per epoch (host↔device round-trips through a
+    remote-attached TPU cost ~50-100 ms each)."""
+    step = _train_step_body(modules, optimizer, statics, sup, loss_weights,
+                            loss_config)
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_scan_train_step(modules: VFNerfModules,
+                         optimizer: optax.GradientTransformation,
+                         statics: RenderStatics,
+                         sup: SupervisionStatics,
+                         loss_weights: VFLossWeights,
+                         loss_config: VFLossConfig
+                         ) -> Callable[..., Tuple[TrainState,
+                                                  Dict[str, jnp.ndarray]]]:
+    """K train steps per dispatch: ``lax.scan`` of the step body over a
+    stacked (K, R, 38) batch tensor.
+
+    On a remote-attached TPU each dispatch costs milliseconds of host↔relay
+    latency; scanning a whole epoch on device amortizes that to one dispatch
+    (measured: sustained runner throughput ≈ the pure-step rate, see
+    PARITY.md). Semantics are bit-identical to K sequential step calls —
+    the per-step PRNG key still folds in ``state.step``, metric sums still
+    accumulate, the per-iteration LR decay still advances with the
+    optimizer count (pinned by ``tests/test_train_step.py``)."""
+    step = _train_step_body(modules, optimizer, statics, sup, loss_weights,
+                            loss_config)
+
+    def scan_step(state: TrainState,
+                  metric_sums: Dict[str, jnp.ndarray],
+                  batches: jnp.ndarray,
+                  base_key: jax.Array,
+                  epoch: jnp.ndarray,
+                  window_weights: jnp.ndarray,
+                  near: jnp.ndarray,
+                  far: jnp.ndarray,
+                  centroid: jnp.ndarray
+                  ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(carry, batch):
+            s, m = carry
+            s, m = step(s, m, batch, base_key, epoch, window_weights, near,
+                        far, centroid)
+            return (s, m), None
+
+        (state, metric_sums), _ = jax.lax.scan(body, (state, metric_sums),
+                                               batches)
+        return state, metric_sums
+
+    return jax.jit(scan_step, donate_argnums=(0, 1))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -203,6 +204,23 @@ class VectorFieldNerfRunner:
                 self.config.vf_loss_weights, self.config.vf_loss_config)
         return self._step_cache[key]
 
+    def _get_scan_step(self):
+        """Jitted K-steps-per-dispatch scan step (same cache policy)."""
+        from vf_nerf_tpu.parallel.train_step import make_scan_train_step
+        statics = self.model.render_statics(
+            compute_dir_derivatives=self.train_dir_derivatives)
+        n_rays = self._batch_rays()
+        sup = SupervisionStatics.from_config(
+            self.config.vf_nerf_config, self.init_method, n_rays=n_rays,
+            n_samples=statics.n_coarse + statics.n_fine,
+            border_radius=self.config.dataset_config.border_radius)
+        key = (statics, sup, "scan")
+        if key not in self._step_cache:
+            self._step_cache[key] = make_scan_train_step(
+                self.model.modules, self.model.optimizer, statics, sup,
+                self.config.vf_loss_weights, self.config.vf_loss_config)
+        return self._step_cache[key]
+
     def _batch_rays(self) -> int:
         n = self.dataset.total_pixels
         if self.mesh is not None:
@@ -225,6 +243,22 @@ class VectorFieldNerfRunner:
             return mesh_lib.shard_batch(self.mesh, packed)
         return jnp.asarray(packed)
 
+    def _feed_stack(self, stacked: np.ndarray):
+        """One (K, R, 38) transfer feeding K steps; rays sharded on axis 1."""
+        if self.multihost:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vf_nerf_tpu.parallel.mesh import DATA_AXIS
+            sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            return jax.make_array_from_process_local_data(sharding, stacked)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vf_nerf_tpu.parallel.mesh import DATA_AXIS
+            return jax.device_put(
+                stacked, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+        return jnp.asarray(stacked)
+
     # --------------------------------------------------------------- train
     def train(self) -> None:
         """Reference ``train`` (``:136-159``)."""
@@ -238,10 +272,12 @@ class VectorFieldNerfRunner:
             if rs.fine_sampling() and epoch % rs.increase_every == 0:
                 self.model.fine_n_samples = min(
                     self.model.fine_n_samples + 5, rs.max_samples)
-            loss = self.train_epoch(epoch)
+            logged = self.train_epoch(epoch)
             if epoch % cfg.save_frequency == 0:
                 self.model.save(epoch, self.ckpt_dir)
-            print(f"Epoch {epoch}: Loss {loss}")
+            if logged is not None:
+                print(f"Epoch {logged[0]}: Loss {logged[1]}")
+        self._resolve_pending_log()
         cfg.start_epoch = cfg.num_epochs + 1
         self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
 
@@ -267,30 +303,89 @@ class VectorFieldNerfRunner:
         if self.mesh is not None:
             sums = mesh_lib.replicate_state(self.mesh, sums)
         count = 0
-        # Batch assembly + packing + host→device transfer run one step ahead
-        # in a worker thread, overlapped with device compute.
-        from vf_nerf_tpu.utils.prefetch import Prefetcher
-        for fed in Prefetcher(self.dataset.epoch_batches(self._epoch_rng),
-                              self._feed, depth=2):
+        epoch_t0 = time.perf_counter()
+        spd = self.config.vf_nerf_config.device_config.steps_per_dispatch
+        if spd != 1:
+            # K steps per dispatch: pack the epoch's batches into one
+            # (K, R, 38) tensor and lax.scan the step on device — the
+            # per-dispatch relay latency amortizes to 1/K (bit-identical
+            # to per-step dispatch, tests/test_train_step.py).
+            from vf_nerf_tpu.parallel.train_step import pack_batch
+            scan_step = self._get_scan_step()
+            n = self._batch_rays()
+            packs = [pack_batch({k: v[:n] for k, v in b.items()
+                                 if v.size > 0})
+                     for b in self.dataset.epoch_batches(self._epoch_rng)]
+            chunk = len(packs) if spd <= 0 else spd
             self._timer.tick()
-            state, sums = step(self.model.state, sums, fed, base_key,
-                               epoch_j, window_weights=window_j, near=near,
-                               far=far, centroid=centroid)
-            self.model.state = state
-            count += 1
-        self._timer.tick()
+            for start in range(0, len(packs), chunk):
+                block = packs[start:start + chunk]
+                fed = self._feed_stack(np.stack(block))
+                state, sums = scan_step(self.model.state, sums, fed,
+                                        base_key, epoch_j,
+                                        window_weights=window_j, near=near,
+                                        far=far, centroid=centroid)
+                self.model.state = state
+                count += len(block)
+                self._timer.tick()
+        else:
+            # Per-step dispatch: batch assembly + packing + host→device
+            # transfer run one step ahead in a worker thread.
+            from vf_nerf_tpu.utils.prefetch import Prefetcher
+            for fed in Prefetcher(self.dataset.epoch_batches(self._epoch_rng),
+                                  self._feed, depth=2):
+                self._timer.tick()
+                state, sums = step(self.model.state, sums, fed, base_key,
+                                   epoch_j, window_weights=window_j,
+                                   near=near, far=far, centroid=centroid)
+                self.model.state = state
+                count += 1
+            self._timer.tick()
 
-        # Everything the epoch log needs comes back in ONE host fetch
-        # (each device_get through the relay costs a full round-trip).
-        host_sums, dens, step_now = jax.device_get(
-            (sums, self.model.density_scalar_arrays(),
-             self.model.state.step))
+        # Everything the epoch log needs comes back in ONE host fetch (each
+        # device_get through the relay costs a full round-trip) — and that
+        # fetch is DEFERRED by one epoch: epoch e's device arrays are
+        # stashed and resolved after epoch e+1's work has been dispatched,
+        # so the transfer overlaps the next epoch's on-device compute
+        # instead of serializing with it. Values logged are identical, just
+        # emitted one epoch later.
+        pending = {
+            "epoch": epoch, "count": count, "window": window,
+            "t0": epoch_t0,
+            # state.step is copied: the state buffers get DONATED by the
+            # next epoch's first dispatch, which would delete the stashed
+            # reference before the deferred fetch. sums and the derived
+            # density scalars are fresh buffers — safe to hold.
+            "arrays": (sums, self.model.density_scalar_arrays(),
+                       jnp.copy(self.model.state.step)),
+            "per_step_timer": spd == 1,
+        }
+        logged = self._resolve_pending_log()
+        self._pending_log = pending
+        return logged
+
+    def _resolve_pending_log(self):
+        """Fetch + log a previously stashed epoch (see ``train_epoch``).
+        Returns (epoch, loss) of the resolved epoch, or None."""
+        pending = getattr(self, "_pending_log", None)
+        if pending is None:
+            return None
+        self._pending_log = None
+        host_sums, dens, step_now = jax.device_get(pending["arrays"])
+        count = pending["count"]
         averages = {k: float(v) / count for k, v in host_sums.items()}
         averages.update({k: float(v) for k, v in dens.items()})
         averages["learning_rate"] = float(
             self.model.lr_schedule(int(step_now)))
-        averages.update({f"w_{i}": float(w) for i, w in enumerate(window)})
-        averages["rays_per_sec"] = self._timer.rays_per_sec(
-            self._batch_rays())
-        self.logger.log(averages, step=epoch)
-        return averages.get("loss", float("nan"))
+        averages.update({f"w_{i}": float(w)
+                         for i, w in enumerate(pending["window"])})
+        if pending["per_step_timer"]:
+            averages["rays_per_sec"] = self._timer.rays_per_sec(
+                self._batch_rays())
+        else:
+            # Wall-clock from the epoch's start to ITS resolution (the
+            # device finished it before starting the next epoch's work).
+            elapsed = time.perf_counter() - pending["t0"]
+            averages["rays_per_sec"] = count * self._batch_rays() / elapsed
+        self.logger.log(averages, step=pending["epoch"])
+        return pending["epoch"], averages.get("loss", float("nan"))
