@@ -106,3 +106,25 @@ def test_native_emission_matches_numpy():
     b = emit_triangles_numpy(gv, vv)
     assert a.shape == b.shape
     np.testing.assert_array_equal(a, b)
+
+
+def test_extract_many_multichip_matches_sequential():
+    """Octant-level multi-device extraction (round-robin over the 8-device
+    CPU mesh) ≡ sequential single-device extraction, bit-exact."""
+    import jax as _jax
+
+    from vf_nerf_tpu.evaluation.mc.device_pipeline import DeviceMeshExtractor
+    from vf_nerf_tpu.evaluation.mc.pipeline import quadrant_translations
+
+    res, scale = 32, 1.5
+    extractor = DeviceMeshExtractor(analytic_box_vf_jax(1.0), res,
+                                    chunk=8192, cell_bucket=4096)
+    octants = list(quadrant_translations(8, scale))
+    centroid = np.zeros(3)
+    seq = extractor.extract_many(octants, centroid)
+    multi = extractor.extract_many(octants, centroid,
+                                   devices=_jax.devices())
+    assert sum(len(v) for v, _ in multi) > 0
+    for (v_s, f_s), (v_m, f_m) in zip(seq, multi):
+        np.testing.assert_array_equal(v_m, v_s)
+        np.testing.assert_array_equal(f_m, f_s)

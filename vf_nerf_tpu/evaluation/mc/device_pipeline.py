@@ -224,17 +224,26 @@ class DeviceMeshExtractor:
         return self.host_tail(cells, signed, scale, offset, world_coords)
 
     def extract_many(self, octants, centroid: np.ndarray,
-                     world_coords: bool = True):
+                     world_coords: bool = True, devices=None):
         """Pipelined multi-octant extraction: octant k's host-side triangle
         emission/dedup runs in a worker thread while octant k+1's device
         stages execute (VERDICT r1 item 8 — overlap host triangulation with
         device field evaluation).
 
         :param octants: iterable of (translation, sub_scale).
+        :param devices: optional list of devices — octants round-robin
+            across them and their field grids evaluate CONCURRENTLY
+            (octant-level multi-chip parallelism; octants are independent
+            sub-volumes, so no halo exchange is needed). Bit-equal to the
+            sequential path (``tests/test_device_pipeline.py``).
         :return: list of (verts, faces), octant order preserved.
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        octants = list(octants)
+        if devices is not None and len(devices) > 1:
+            return self._extract_many_multichip(octants, centroid,
+                                                world_coords, devices)
         with ThreadPoolExecutor(max_workers=1) as pool:
             futures = []
             for translation, sub_scale in octants:
@@ -243,6 +252,51 @@ class DeviceMeshExtractor:
                 futures.append(pool.submit(self.host_tail, cells, signed,
                                            sub_scale, offset, world_coords))
             return [f.result() for f in futures]
+
+    def _extract_many_multichip(self, octants, centroid, world_coords,
+                                devices):
+        """Octants round-robin over devices; every device's stage-1 (field
+        grid + mask) dispatches up front and runs concurrently — jit routes
+        each call to the device its committed inputs live on."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        staged = []
+        for k, (translation, sub_scale) in enumerate(octants):
+            dev = devices[k % len(devices)]
+            offset = np.asarray(translation) + np.asarray(centroid)
+            scale_d = jax.device_put(jnp.float32(sub_scale), dev)
+            off_d = jax.device_put(jnp.asarray(offset, jnp.float32), dev)
+            staged.append((self._stage1(scale_d, off_d), offset, sub_scale))
+
+        results = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for (vt, norms, mask), offset, sub_scale in staged:
+                mask_host = np.asarray(jax.device_get(mask))
+                cells = np.argwhere(mask_host).astype(np.int32)
+                if len(cells) == 0:
+                    results.append(pool.submit(lambda: _EMPTY))
+                    continue
+                bucket = self.cell_bucket
+                signed_all = np.empty((len(cells), 8), np.float32)
+                crossing_all = np.empty((len(cells),), bool)
+                for start in range(0, len(cells), bucket):
+                    end = min(start + bucket, len(cells))
+                    block = cells[start:end]
+                    pad = bucket - (end - start)
+                    if pad:
+                        block = np.concatenate(
+                            [block, np.repeat(block[-1:], pad, 0)])
+                    dev = vt.devices().pop()
+                    signed, crossing = self._stage2(
+                        vt, norms, jax.device_put(jnp.asarray(block), dev))
+                    signed_all[start:end] = np.asarray(signed)[:end - start]
+                    crossing_all[start:end] = \
+                        np.asarray(crossing)[:end - start]
+                results.append(pool.submit(
+                    self.host_tail, cells[crossing_all],
+                    signed_all[crossing_all], sub_scale, offset,
+                    world_coords))
+            return [f.result() for f in results]
 
 
 def extract_vf_mesh_device(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],

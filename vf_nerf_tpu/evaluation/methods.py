@@ -314,8 +314,10 @@ def quadrant_marching_cubes(model: VectorFieldNerf, resolution: int,
         extractor = DeviceMeshExtractor(
             lambda pts: render_vector_field(modules, variables, pts,
                                             train=False), resolution)
+        devices = jax.devices() if len(jax.devices()) > 1 else None
         meshes = [(v, f) for v, f in
-                  extractor.extract_many(octants, centroid) if len(v)]
+                  extractor.extract_many(octants, centroid, devices=devices)
+                  if len(v)]
     else:
         for translation, sub_scale in octants:
             v, f = extract_vf_mesh(

@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
