@@ -128,3 +128,32 @@ def test_extract_many_multichip_matches_sequential():
     for (v_s, f_s), (v_m, f_m) in zip(seq, multi):
         np.testing.assert_array_equal(v_m, v_s)
         np.testing.assert_array_equal(f_m, f_s)
+
+
+@pytest.mark.parametrize("smooth_all,smooth_after", [(True, False),
+                                                     (False, True)])
+def test_device_smoothing_matches_host_pipeline(smooth_all, smooth_after):
+    """On-device Gaussian smoothing (k3/σ1 pre-divergence, k9/σ2
+    pre-classification) ≡ the host pipeline's scipy smoothing, up to
+    borderline-cell tolerance (f32 vs f64 thresholds)."""
+    from scipy.spatial import cKDTree
+
+    from vf_nerf_tpu.evaluation.mc.device_pipeline import DeviceMeshExtractor
+
+    res = 32
+    v_host, f_host = extract_vf_mesh(
+        analytic_box_vf_fn(1.0), resolution=res, scale=1.5,
+        centroid=np.zeros(3), translation=np.zeros(3, np.float32),
+        max_batch=8192, smooth_before=smooth_all, smooth_after=smooth_after)
+    extractor = DeviceMeshExtractor(analytic_box_vf_jax(1.0), res,
+                                    chunk=8192, cell_bucket=4096,
+                                    smooth_before=smooth_all,
+                                    smooth_after=smooth_after)
+    v_dev, f_dev = extractor.extract(1.5, np.zeros(3),
+                                     np.zeros(3, np.float32))
+    assert len(v_dev) > 0 and len(f_dev) > 0
+    assert abs(len(v_dev) - len(v_host)) < 0.03 * len(v_host)
+    d = cKDTree(v_host).query(v_dev, k=1)[0]
+    voxel = 2 * 1.5 / (res - 1)
+    assert np.median(d) < 1e-4
+    assert d.max() < 2 * voxel

@@ -51,15 +51,11 @@ def _grid_points(res: int, scale, offset: jnp.ndarray,
     return pts + offset
 
 
-def build_field_grid(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
-                     res: int, scale: float, offset: jnp.ndarray,
-                     chunk: int = 1 << 20):
-    """Evaluate the field over the res³ grid on device.
-
-    :param vf_apply: jit-friendly (N, 3) → (N, 3) field function.
-    :return: (vt (res,res,res,3) unit field, norms (res,res,res)) device
-        arrays.
-    """
+def build_raw_field_grid(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
+                         res: int, scale, offset: jnp.ndarray,
+                         chunk: int = 1 << 20) -> jnp.ndarray:
+    """Evaluate the raw field over the res³ grid on device →
+    (res, res, res, 3)."""
     n = res ** 3
     n_chunks = -(-n // chunk)
 
@@ -69,11 +65,26 @@ def build_field_grid(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
         return vf_apply(pts)
 
     field = jax.lax.map(eval_chunk, jnp.arange(n_chunks))
-    field = field.reshape(n_chunks * chunk, 3)[:n]
-    norms = jnp.linalg.norm(field, axis=-1)
-    vt = field / jnp.maximum(norms[:, None], 1e-12)
-    return (vt.reshape(res, res, res, 3),
-            norms.reshape(res, res, res))
+    return field.reshape(n_chunks * chunk, 3)[:n].reshape(res, res, res, 3)
+
+
+def _normalize_grid(grid: jnp.ndarray):
+    norms = jnp.linalg.norm(grid, axis=-1)
+    vt = grid / jnp.maximum(norms[..., None], 1e-12)
+    return vt, norms
+
+
+def build_field_grid(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
+                     res: int, scale, offset: jnp.ndarray,
+                     chunk: int = 1 << 20):
+    """Evaluate the field over the res³ grid on device.
+
+    :param vf_apply: jit-friendly (N, 3) → (N, 3) field function.
+    :return: (vt (res,res,res,3) unit field, norms (res,res,res)) device
+        arrays.
+    """
+    return _normalize_grid(build_raw_field_grid(vf_apply, res, scale,
+                                                offset, chunk))
 
 
 def surface_mask(vt: jnp.ndarray, threshold: float = -0.5) -> jnp.ndarray:
@@ -154,7 +165,14 @@ class DeviceMeshExtractor:
 
     def __init__(self, vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
                  resolution: int, chunk: int = 1 << 20,
-                 cell_bucket: int = 1 << 16) -> None:
+                 cell_bucket: int = 1 << 16,
+                 smooth_before: bool = False,
+                 smooth_after: bool = False) -> None:
+        """``smooth_before``/``smooth_after`` run the reference's Gaussian
+        smoothing ON DEVICE (k=3/σ=1 before divergence, k=9/σ=2 before
+        classification — host pipeline semantics ``mc/pipeline.py:96-100``),
+        so the smoothed mesh variants no longer download the ~200 MB field
+        grid through the relay."""
         self.resolution = resolution
         n_total = resolution ** 3
         # Don't pad tiny grids up to a full chunk.
@@ -162,11 +180,22 @@ class DeviceMeshExtractor:
         self.cell_bucket = min(
             cell_bucket, 1 << max(int(np.ceil(np.log2(n_total))), 10))
 
+        from vf_nerf_tpu.evaluation.mc.smoothing import smooth_vf
+
         @jax.jit
         def stage1(scale, offset):
-            vt, norms = build_field_grid(vf_apply, resolution, scale, offset,
-                                         self.chunk)
-            return vt, norms, surface_mask(vt)
+            grid = build_raw_field_grid(vf_apply, resolution, scale, offset,
+                                        self.chunk)
+            if smooth_before:
+                grid = smooth_vf(grid, k=3, sigma=1.0)
+            vt_div, norms_raw = _normalize_grid(grid)
+            mask = surface_mask(vt_div)
+            if smooth_before or smooth_after:
+                grid = smooth_vf(grid, k=9, sigma=2.0)
+                vt, norms = _normalize_grid(grid)
+            else:
+                vt, norms = vt_div, norms_raw
+            return vt, norms, mask
 
         self._stage1 = stage1
         self._stage2 = jax.jit(cell_signed_values)

@@ -249,32 +249,24 @@ def marching_cubes_mesh(model: VectorFieldNerf, resolution: int,
     (reference ``methods.py:139-322``); see ``evaluation/mc``.
 
     The no-smoothing variant runs the device-resident pipeline (field grid,
-    divergence, corner classification all on-chip — only the surface mask
-    and signed corner values transfer); the Gaussian-smoothed variants use
-    the host pipeline."""
-    from vf_nerf_tpu.evaluation.mc.pipeline import extract_vf_mesh
+    divergence, Gaussian smoothing, corner classification all on-chip —
+    only the surface mask and signed corner values transfer)."""
     from vf_nerf_tpu.utils.ply import save_ply
 
     translation = (np.zeros(3, np.float32) if translation is None
                    else np.asarray(translation, np.float32))
-    if not (smooth_all or smooth_after):
-        from vf_nerf_tpu.evaluation.mc.device_pipeline import \
-            extract_vf_mesh_device
-        from vf_nerf_tpu.models.renderer import render_vector_field
-        modules, variables = model.modules, model.state.variables()
-        verts, faces = extract_vf_mesh_device(
-            lambda pts: render_vector_field(modules, variables, pts,
-                                            train=False),
-            resolution=resolution, scale=scale,
-            centroid=np.asarray(centroid), translation=translation,
-            world_coords=False)
-    else:
-        verts, faces = extract_vf_mesh(
-            lambda pts: np.asarray(model.get_vector_field(pts)),
-            resolution=resolution, scale=scale,
-            centroid=np.asarray(centroid), translation=translation,
-            max_batch=max_batch, smooth_before=smooth_all,
-            smooth_after=smooth_after, world_coords=False)
+    # All variants (plain + Gaussian-smoothed) run the device-resident
+    # pipeline; smoothing happens on-chip (DeviceMeshExtractor) so nothing
+    # downloads the full field grid.
+    from vf_nerf_tpu.evaluation.mc.device_pipeline import DeviceMeshExtractor
+    from vf_nerf_tpu.models.renderer import render_vector_field
+    modules, variables = model.modules, model.state.variables()
+    extractor = DeviceMeshExtractor(
+        lambda pts: render_vector_field(modules, variables, pts,
+                                        train=False),
+        resolution, smooth_before=smooth_all, smooth_after=smooth_after)
+    verts, faces = extractor.extract(scale, np.asarray(centroid),
+                                     translation, world_coords=False)
     io_utils.mkdir_ifnotexists(mesh_path)
     # Artifact pair per the reference (methods.py:289-322):
     # mesh-<ckpt>.ply in canonical cube coords, mesh-scaled-<ckpt>.ply in
@@ -296,38 +288,28 @@ def quadrant_marching_cubes(model: VectorFieldNerf, resolution: int,
                             smooth_all: bool = False) -> tuple:
     """Per-octant MC + concatenation — the memory-scaling workaround for high
     resolutions (reference ``methods.py:74-137``: 8, 35 or 64 translations)."""
-    from vf_nerf_tpu.evaluation.mc.pipeline import (extract_vf_mesh,
-                                                    quadrant_translations)
+    from vf_nerf_tpu.evaluation.mc.pipeline import quadrant_translations
     from vf_nerf_tpu.utils.meshes import concatenate_meshes
     from vf_nerf_tpu.utils.ply import save_ply
 
     from vf_nerf_tpu.evaluation.mc.device_pipeline import DeviceMeshExtractor
     from vf_nerf_tpu.models.renderer import render_vector_field
 
-    meshes = []
     centroid = np.asarray(centroid, np.float32)
     octants = list(quadrant_translations(num_quadrants, scale))
-    if not (smooth_all or smooth_after):
-        # Pipelined device path: one traced extractor for every octant;
-        # octant k's host triangulation overlaps octant k+1's device stages.
-        modules, variables = model.modules, model.state.variables()
-        extractor = DeviceMeshExtractor(
-            lambda pts: render_vector_field(modules, variables, pts,
-                                            train=False), resolution)
-        devices = jax.devices() if len(jax.devices()) > 1 else None
-        meshes = [(v, f) for v, f in
-                  extractor.extract_many(octants, centroid, devices=devices)
-                  if len(v)]
-    else:
-        for translation, sub_scale in octants:
-            v, f = extract_vf_mesh(
-                lambda pts: np.asarray(model.get_vector_field(pts)),
-                resolution=resolution, scale=sub_scale, centroid=centroid,
-                translation=translation, max_batch=max_batch,
-                smooth_before=smooth_all, smooth_after=smooth_after,
-                world_coords=True)
-            if len(v):
-                meshes.append((v, f))
+    # Pipelined device path for every variant: one traced extractor for all
+    # octants, smoothing on-chip, octant k's host triangulation overlapping
+    # octant k+1's device stages (and octants spread across devices when
+    # more than one is present).
+    modules, variables = model.modules, model.state.variables()
+    extractor = DeviceMeshExtractor(
+        lambda pts: render_vector_field(modules, variables, pts,
+                                        train=False), resolution,
+        smooth_before=smooth_all, smooth_after=smooth_after)
+    devices = jax.devices() if len(jax.devices()) > 1 else None
+    meshes = [(v, f) for v, f in
+              extractor.extract_many(octants, centroid, devices=devices)
+              if len(v)]
     verts, faces = concatenate_meshes(meshes) if meshes else \
         (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     io_utils.mkdir_ifnotexists(mesh_path)
