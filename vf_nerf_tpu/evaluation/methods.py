@@ -158,6 +158,7 @@ def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
     ``3d-metrics.json`` (reference ``methods.py:667-744``)."""
     from vf_nerf_tpu.evaluation.renderer import refuse_mesh
     from vf_nerf_tpu.utils.meshes import (chamfer_distance, laplacian_smooth,
+                                          nn_distances,
                                           precision_recall_fscore,
                                           sample_surface)
     from vf_nerf_tpu.utils.ply import load_ply, save_ply
@@ -192,9 +193,11 @@ def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
             results[name] = {"error": "empty mesh"}
             continue
         pred_points = sample_surface(v, f, n_samples, seed=0)
-        acc, comp, chamfer = chamfer_distance(pred_points, gt_points)
+        dists = nn_distances(pred_points, gt_points)  # shared by both
+        acc, comp, chamfer = chamfer_distance(pred_points, gt_points,
+                                              distances=dists)
         prf = precision_recall_fscore(pred_points, gt_points,
-                                      distance_thresh)
+                                      distance_thresh, distances=dists)
         results[name] = {"chamfer": chamfer, "accuracy": acc,
                          "completeness": comp, **prf}
 
