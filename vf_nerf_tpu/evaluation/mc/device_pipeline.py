@@ -337,8 +337,9 @@ def extract_vf_mesh_device(vf_apply: Callable[[jnp.ndarray], jnp.ndarray],
                            chunk: int = 1 << 20,
                            cell_bucket: int = 1 << 16
                            ) -> Tuple[np.ndarray, np.ndarray]:
-    """Device-resident equivalent of ``pipeline.extract_vf_mesh`` (no
-    smoothing variants; use the host pipeline for those). One-shot wrapper
-    around :class:`DeviceMeshExtractor`."""
+    """Device-resident equivalent of ``pipeline.extract_vf_mesh``
+    (plain variant). One-shot wrapper around :class:`DeviceMeshExtractor`;
+    construct the extractor directly for the smoothed variants or
+    multi-octant pipelining."""
     extractor = DeviceMeshExtractor(vf_apply, resolution, chunk, cell_bucket)
     return extractor.extract(scale, centroid, translation, world_coords)

@@ -11,6 +11,10 @@ fixed depth ahead of the consumer, so batch ``k+1`` is assembled, packed and
 shipped while the device executes step ``k``. A single worker preserves the
 iterator's order and RNG determinism exactly; numpy and ``jax.device_put``
 release the GIL for the bulk of the work.
+
+Used by the per-step dispatch path (``device.steps_per_dispatch = 1``); the
+default scan path instead packs K batches into one tensor per dispatch
+(``parallel/train_step.make_scan_train_step``).
 """
 
 from __future__ import annotations
