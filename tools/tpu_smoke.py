@@ -27,6 +27,9 @@ def main() -> None:
     parser.add_argument("--workdir", type=str, default="/tmp/vf_smoke")
     parser.add_argument("--images", type=int, default=6)
     parser.add_argument("--size", type=int, nargs=2, default=[96, 128])
+    parser.add_argument("--joint", action="store_true",
+                        help="also run a short joint pose+field stage from "
+                             "the trained checkpoint")
     args = parser.parse_args()
 
     import numpy as np
@@ -105,9 +108,66 @@ def main() -> None:
     with open(os.path.join(args.workdir, "evals", "smoke_boxroom",
                            "tpu_latest", "metrics.json")) as f:
         metrics = json.load(f)
-    print(json.dumps({"epochs": args.epochs,
-                      "train_rays_per_sec": rays / train_s,
-                      "mean_psnr": metrics["mean_psnr"]}))
+    summary = {"epochs": args.epochs,
+               "train_rays_per_sec": rays / train_s,
+               "mean_psnr": metrics["mean_psnr"]}
+
+    if args.joint:
+        print("== joint pose+field optimization ==", flush=True)
+        summary.update(run_joint_stage(args.workdir, conf_path))
+    print(json.dumps(summary))
+
+
+def run_joint_stage(workdir: str, conf_path: str) -> dict:
+    """Short joint pose-and-field run from the trained checkpoint
+    (BASELINE configs[4] on real hardware)."""
+    import numpy as np
+
+    from vf_nerf_tpu.config.joint_parser import parse_config as parse_joint
+
+    joint_conf = os.path.join(workdir, "joint.conf")
+    with open(joint_conf, "w") as f:
+        f.write("""
+train {
+    initial_training_epochs = 0
+    supervised_vf_epochs = 1
+    joint_epochs = 4
+    supervise_every = 2
+    supervision_epochs = 1
+    refinement_init_lr = 1e-4
+    reset_scheduler = False
+}
+joint_optimization {
+    save_frequency = 2
+    num_bases = 6
+    decimation = 1.0
+    self_supervise = True
+}
+""")
+    cfg = parse_joint(scene="boxroom", vf_config_path=conf_path,
+                      joint_config_path=joint_conf, expname="smoke",
+                      timestamp="joint_tpu", checkpoint="latest",
+                      data_root_dir=workdir, offline=True)
+    src = os.path.join(cfg.vf_config.exps_folder, "smoke_boxroom", "tpu",
+                       "checkpoints", "vf_nerf", "latest.ckpt")
+    dst_dir = os.path.join(cfg.vf_config.exps_folder, "smoke_boxroom",
+                           "joint_tpu", "checkpoints", "vf_nerf")
+    os.makedirs(dst_dir, exist_ok=True)
+    shutil.copy(src, os.path.join(dst_dir, "latest.ckpt"))
+
+    from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+    t0 = time.perf_counter()
+    runner = JointOptimizationRunner(cfg)
+    initial = runner.pose_params.copy()
+    metrics = runner.train()
+    refined = runner.refined_poses()
+    rtr = refined[:, :3, :3] @ refined[:, :3, :3].transpose(0, 2, 1)
+    return {"joint_wall_s": round(time.perf_counter() - t0, 1),
+            "joint_loss": metrics.get("loss"),
+            "max_pose_drift": float(np.abs(runner.pose_params -
+                                           initial).max()),
+            "rotation_orthonormality_err": float(
+                np.abs(rtr - np.eye(3)).max())}
 
 
 if __name__ == "__main__":
