@@ -349,5 +349,49 @@ class TestReproducibility:
                                   expname="r", timestamp=f"rep{run}",
                                   data_root_dir=root, offline=True)
             runner = VectorFieldNerfRunner(config)
-            losses.append(runner.train_epoch(0))
+            runner.train_epoch(0)
+            # The epoch log is deferred by one epoch — resolve explicitly.
+            epoch, loss = runner._resolve_pending_log()
+            assert epoch == 0
+            losses.append(loss)
+        assert losses[0] is not None
         assert losses[0] == losses[1]
+
+    def test_scan_dispatch_equals_per_step_dispatch(self, tmp_path_factory):
+        """The default scan path (steps_per_dispatch=64) and the per-step
+        path (=1) produce bit-identical parameters after two epochs."""
+        import jax
+        import numpy as np
+
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+        root = str(tmp_path_factory.mktemp("spd"))
+        ds = SyntheticBoxDataset(n_images=2, image_size=(8, 12),
+                                 pixels_per_batch=64)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        conf = TINY_CONF.replace("EXPS_PLACEHOLDER",
+                                 os.path.join(root, "exps"))
+        conf = conf.replace("pixels_per_batch = 96",
+                            "pixels_per_batch = 64")
+        with open(conf_path, "w") as f:
+            f.write(conf)
+
+        params = {}
+        for spd in (64, 1):
+            config = parse_config(scene="boxroom", config_path=conf_path,
+                                  expname="r", timestamp=f"spd{spd}",
+                                  data_root_dir=root, offline=True)
+            config.vf_nerf_config.device_config.steps_per_dispatch = spd
+            runner = VectorFieldNerfRunner(config)
+            for epoch in range(2):
+                runner.train_epoch(epoch)
+            runner._resolve_pending_log()
+            params[spd] = jax.device_get(runner.model.state.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) -
+                                             np.asarray(b)))),
+            params[64], params[1])
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
