@@ -281,11 +281,11 @@ class VectorFieldNerfRunner:
         cfg.start_epoch = cfg.num_epochs + 1
         self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
 
-    def train_epoch(self, epoch: int) -> float:
+    def train_epoch(self, epoch: int):
         """Reference ``train_epoch`` (``:161-292``) — one mixed-view ray
-        batch per dataset item, loss averaging, end-of-epoch logging."""
+        batch per dataset item, loss averaging, end-of-epoch logging
+        (deferred one epoch; returns the RESOLVED (epoch, loss) or None)."""
         window = self.model.update_annealing(epoch)
-        step = self._get_step()
         centroid = jnp.asarray(self.dataset.get_centroid())
         near = jnp.float32(self.model.near)
         far = jnp.float32(self.model.far)
@@ -332,6 +332,7 @@ class VectorFieldNerfRunner:
             # Per-step dispatch: batch assembly + packing + host→device
             # transfer run one step ahead in a worker thread.
             from vf_nerf_tpu.utils.prefetch import Prefetcher
+            step = self._get_step()
             for fed in Prefetcher(self.dataset.epoch_batches(self._epoch_rng),
                                   self._feed, depth=2):
                 self._timer.tick()
