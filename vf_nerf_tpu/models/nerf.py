@@ -71,6 +71,11 @@ def _duplicate_vf_optimizer(schedule: Any, clip_norm: float,
     reference-trained results embed these dynamics; this transformation
     reproduces them exactly for the top-level ``"vf"`` subtree (pinned by
     ``tests/test_grad_parity.py::test_training_trajectory_parity``).
+
+    One knowing simplification: weight decay is added to the shared gradient
+    once, where torch would re-derive ``wd·p`` per occurrence against the
+    intra-step-updated param. Indistinguishable at the reference's
+    ``weight_decay = 0.0`` (every shipped conf).
     """
 
     def init(params):
