@@ -277,7 +277,9 @@ class VectorFieldNerfRunner:
                 self.model.save(epoch, self.ckpt_dir)
             if logged is not None:
                 print(f"Epoch {logged[0]}: Loss {logged[1]}")
-        self._resolve_pending_log()
+        final = self._resolve_pending_log()
+        if final is not None:
+            print(f"Epoch {final[0]}: Loss {final[1]}")
         cfg.start_epoch = cfg.num_epochs + 1
         self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
 
