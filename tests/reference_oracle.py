@@ -75,4 +75,14 @@ def install_reference_stubs() -> None:
             if name == "trimesh":
                 mod.Trimesh = object
                 mod.load = _StubMesh
+                # utils.get_chamfer_distance calls
+                # trimesh.sample.sample_surface(mesh, n) (utils.py:343);
+                # the chamfer oracle test feeds fixed point sets by giving
+                # the fake mesh a ``.points`` attribute, so both sides of
+                # the parity check consume identical samples.
+                sample_mod = types.ModuleType("trimesh.sample")
+                sample_mod.sample_surface = \
+                    lambda m, n: (np.asarray(m.points)[:n], None)
+                mod.sample = sample_mod
+                sys.modules["trimesh.sample"] = sample_mod
             sys.modules[name] = mod

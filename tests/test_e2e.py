@@ -239,8 +239,24 @@ class TestEndToEnd:
             assert os.path.exists(os.path.join(eval_dir, artifact)), artifact
         with open(os.path.join(eval_dir, "3d-metrics.json")) as f:
             metrics3d = json.load(f)
-        assert "tsdf" in metrics3d
-        assert "chamfer" in metrics3d["tsdf"] or "error" in metrics3d["tsdf"]
+        # The reference's exact variant set + JSON key tree
+        # (methods.py:732-741): four meshes, each with the
+        # "chamfer distance" {mean, median, min, max} subdict plus the
+        # external-evaluator P/R/F keys merged in.
+        assert set(metrics3d) == {"tsdf", "refused_tsdf", "tsdf_smoothed",
+                                  "refused_tsdf_smoothed"}
+        for name, entry in metrics3d.items():
+            if "error" in entry:      # an empty refused mesh is possible
+                continue              # on the tiny synthetic scene
+            assert set(entry["chamfer distance"]) == \
+                {"mean", "median", "min", "max"}, name
+            for key in ("precision", "recall", "fscore"):
+                assert key in entry, (name, key)
+        # The reference artifact filenames (methods.py:686-709).
+        for fname in ("tsdf.ply", "tsdf-smoothed.ply", "refused-tsdf.ply",
+                      "refused-tsdf-smoothed.ply"):
+            assert os.path.exists(
+                os.path.join(eval_dir, "tsdf-mesh", fname)), fname
 
 
 class TestScanNetEndToEnd:

@@ -208,10 +208,14 @@ class TestClassicMC:
         gt_v, gt_f = box_mesh(1.0)
         pred_pts = sample_surface(verts, faces, 20000, seed=0)
         gt_pts = sample_surface(gt_v, gt_f, 20000, seed=1)
-        _, _, chamfer = chamfer_distance(pred_pts, gt_pts)
-        # voxel ≈ 0.097 at res 32/scale 1.5, plus the reproduced reference
-        # (res−1)/res mesh-scale quirk (~3%).
-        assert chamfer < 0.13
+        chf = chamfer_distance(pred_pts, gt_pts)
+        # chamfer_distance follows the reference definition: sum of the two
+        # directional means of SQUARED distances. voxel ≈ 0.097 at
+        # res 32/scale 1.5, the reproduced reference (res−1)/res mesh-scale
+        # quirk (~3%), and the analytic field's exterior edge-Voronoi sheets
+        # (squared stats amplify those outliers) put the sum near 0.05.
+        assert chf["mean"] < 0.08
+        assert chf["min"] <= chf["median"] <= chf["max"]
 
     def test_quadrant_translations(self):
         for n, expected in ((8, 8), (64, 64), (35, 35)):

@@ -32,9 +32,10 @@ def render_images(model: VectorFieldNerf,
                   eval_path: str,
                   dataset_config: DatasetConfig,
                   epoch: int,
-                  split_size: int = 512) -> None:
+                  split_size: int = 1024) -> None:
     """Render every training view in ray chunks and save rgb + depth
-    (reference ``methods.py:473-547``).
+    (reference ``methods.py:473-547``; ``split_size`` default matches the
+    reference's 1024-ray chunk).
 
     TPU-shaped: all whole-image chunks share one jitted render (static chunk
     shape); the tail chunk is padded to the static size and cropped back.
@@ -85,7 +86,7 @@ def metrics(model: VectorFieldNerf,
             eval_path: str,
             dataset_config: DatasetConfig,
             epoch: int,
-            split_size: int = 512) -> Dict[str, float]:
+            split_size: int = 1024) -> Dict[str, float]:
     """Per-image + mean PSNR → ``metrics.json``
     (reference ``methods.py:549-610``)."""
     dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
@@ -145,87 +146,173 @@ def tsdf_mesh(eval_path: str, dataset_config: DatasetConfig) -> None:
     save_ply(os.path.join(mesh_dir, "tsdf.ply"), verts, faces)
 
 
-def _metric_sample_count() -> int:
-    """Surface sample count for 3D metrics (reference: 2.5M KD-tree samples,
-    ``utils/utils.py:327-367``); override with VFNERF_3D_METRIC_SAMPLES for
-    quick runs/tests."""
-    return int(os.environ.get("VFNERF_3D_METRIC_SAMPLES", 2_500_000))
+def _metric_sample_count(num_points: Optional[int] = None) -> int:
+    """Surface sample count for 3D metrics (reference ``metrics_3d`` /
+    ``metrics_3d_no_vf`` default ``num_points=1000000``,
+    ``methods.py:669,750``); VFNERF_3D_METRIC_SAMPLES overrides for quick
+    runs/tests."""
+    if "VFNERF_3D_METRIC_SAMPLES" in os.environ:
+        return int(os.environ["VFNERF_3D_METRIC_SAMPLES"])
+    return 1_000_000 if num_points is None else num_points
+
+
+def _run_evaluation(pred_points: np.ndarray, gt_points: np.ndarray,
+                    distance_thresh: float, icp: bool) -> Dict[str, float]:
+    """In-repo replacement for the external ``evaluate_3d_reconstruction``
+    evaluator (reference ``methods.py:722-730``): P/R/F at a distance
+    threshold plus accuracy/completeness, with the evaluator's optional
+    ICP pre-alignment of prediction → GT (``icp_align=True`` is essential
+    for external baselines whose meshes are not in the GT frame)."""
+    from vf_nerf_tpu.utils.meshes import (apply_transform, icp_align,
+                                          precision_recall_fscore)
+    if icp:
+        transform = icp_align(pred_points, gt_points)
+        pred_points = apply_transform(pred_points, transform)
+    return precision_recall_fscore(pred_points, gt_points, distance_thresh)
 
 
 def metrics_3d(eval_path: str, dataset_config: DatasetConfig,
+               num_points: Optional[int] = None,
+               icp_align: bool = False,
                distance_thresh: float = 0.05) -> Dict[str, Dict]:
-    """Chamfer + P/R/F-score on the tsdf / smoothed / refused meshes →
-    ``3d-metrics.json`` (reference ``methods.py:667-744``)."""
+    """Chamfer + P/R/F-score on the four TSDF variants → ``3d-metrics.json``
+    (reference ``methods.py:667-744``).
+
+    Matches the reference variant set and artifact names exactly: ``tsdf``
+    (raw fusion), ``tsdf_smoothed`` (10-iteration Laplacian, :686-691),
+    ``refused_tsdf`` (refuse of the **raw** tsdf, :697-702) and
+    ``refused_tsdf_smoothed`` (refuse of the smoothed mesh, :704-709) —
+    each scored as ``{"chamfer distance": {mean, median, min, max},
+    precision, recall, fscore, ...}`` (:732-741). Chamfer is computed on
+    the un-aligned meshes (as upstream); ICP, when requested, only affects
+    the P/R/F stage (the external evaluator's behavior)."""
     from vf_nerf_tpu.evaluation.renderer import refuse_mesh
     from vf_nerf_tpu.utils.meshes import (chamfer_distance, laplacian_smooth,
-                                          nn_distances,
-                                          precision_recall_fscore,
-                                          sample_surface)
+                                          nn_distances, sample_surface)
     from vf_nerf_tpu.utils.ply import load_ply, save_ply
 
     dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
-    tsdf_path = os.path.join(eval_path, "tsdf-mesh", "tsdf.ply")
+    mesh_dir = os.path.join(eval_path, "tsdf-mesh")
+    tsdf_path = os.path.join(mesh_dir, "tsdf.ply")
     if not os.path.exists(tsdf_path):
+        print("TSDF mesh does not exist. Generating mesh.")
         tsdf_mesh(eval_path, dataset_config)
     verts, faces = load_ply(tsdf_path)
 
-    # Laplacian-smoothed variant (reference :686-691).
-    smooth_path = os.path.join(eval_path, "tsdf-mesh", "tsdf-smoothed.ply")
-    sm_verts = laplacian_smooth(verts, faces, iterations=10)
-    save_ply(smooth_path, sm_verts, faces)
+    # Laplacian-smoothed variant (reference :686-691); reuse if present.
+    smooth_path = os.path.join(mesh_dir, "tsdf-smoothed.ply")
+    if os.path.exists(smooth_path):
+        sm_verts, sm_faces = load_ply(smooth_path)
+    else:
+        sm_verts, sm_faces = laplacian_smooth(verts, faces,
+                                              iterations=10), faces
+        save_ply(smooth_path, sm_verts, sm_faces)
 
-    # "Refused" variant: re-render into training views + re-fuse (:33-72).
-    refuse_path = os.path.join(eval_path, "tsdf-mesh", "tsdf-refused.ply")
-    rf_verts, rf_faces = refuse_mesh(sm_verts, faces, dataset)
-    save_ply(refuse_path, rf_verts, rf_faces)
+    # "Refused" variants: re-render into training views + re-fuse (:33-72);
+    # the reference refuses the RAW tsdf (:697-702) and the smoothed mesh
+    # (:704-709) separately, caching each by filename.
+    refused = {}
+    for fname, (v, f) in (("refused-tsdf.ply", (verts, faces)),
+                          ("refused-tsdf-smoothed.ply",
+                           (sm_verts, sm_faces))):
+        path = os.path.join(mesh_dir, fname)
+        if os.path.exists(path):
+            refused[fname] = load_ply(path)
+        else:
+            rv, rf = refuse_mesh(v, f, dataset)
+            save_ply(path, rv, rf)
+            refused[fname] = (rv, rf)
 
-    gt_path = _gt_mesh_path(dataset_config)
-    gt_verts, gt_faces = load_ply(gt_path)
-    n_samples = _metric_sample_count()
+    gt_verts, gt_faces = load_ply(_gt_mesh_path(dataset_config))
+    n_samples = _metric_sample_count(num_points)
     gt_points = sample_surface(gt_verts, gt_faces, n_samples, seed=0)
 
+    # Reference key order (:732-736): tsdf, refused_tsdf, tsdf_smoothed,
+    # refused_tsdf_smoothed.
+    variants = {"tsdf": (verts, faces),
+                "refused_tsdf": refused["refused-tsdf.ply"],
+                "tsdf_smoothed": (sm_verts, sm_faces),
+                "refused_tsdf_smoothed":
+                    refused["refused-tsdf-smoothed.ply"]}
     results: Dict[str, Dict] = {}
-    for name, (v, f) in {
-            "tsdf": (verts, faces),
-            "tsdf-smoothed": (sm_verts, faces),
-            "tsdf-refused": (rf_verts, rf_faces)}.items():
+    for name, (v, f) in variants.items():
         if len(v) == 0:
             results[name] = {"error": "empty mesh"}
             continue
         pred_points = sample_surface(v, f, n_samples, seed=0)
-        dists = nn_distances(pred_points, gt_points)  # shared by both
-        acc, comp, chamfer = chamfer_distance(pred_points, gt_points,
-                                              distances=dists)
-        prf = precision_recall_fscore(pred_points, gt_points,
-                                      distance_thresh, distances=dists)
-        results[name] = {"chamfer": chamfer, "accuracy": acc,
-                         "completeness": comp, **prf}
+        dists = nn_distances(pred_points, gt_points)
+        results[name] = {
+            "chamfer distance": chamfer_distance(pred_points, gt_points,
+                                                 distances=dists)}
+        # ICP off (the metrics_3d default) shares the NN distances with the
+        # chamfer stage; ICP on re-queries against the aligned prediction.
+        results[name].update(
+            _run_evaluation(pred_points, gt_points, distance_thresh,
+                            icp=icp_align)
+            if icp_align else
+            _run_evaluation_shared(pred_points, gt_points, distance_thresh,
+                                   dists))
 
     with open(os.path.join(eval_path, "3d-metrics.json"), "w") as f:
         json.dump(results, f, indent=4)
     return results
 
 
+def _run_evaluation_shared(pred_points, gt_points, distance_thresh, dists):
+    from vf_nerf_tpu.utils.meshes import precision_recall_fscore
+    return precision_recall_fscore(pred_points, gt_points, distance_thresh,
+                                   distances=dists)
+
+
 def metrics_3d_no_vf(eval_path: str, checkpoint: str,
                      dataset_config: DatasetConfig,
+                     num_points: Optional[int] = None,
+                     icp_align: bool = True,
                      distance_thresh: float = 0.05) -> Dict[str, Dict]:
-    """3D metrics for an external baseline mesh (reference
-    ``methods.py:747-801``): evaluates ``<eval>/<checkpoint>.ply`` directly."""
-    from vf_nerf_tpu.utils.meshes import (chamfer_distance,
-                                          precision_recall_fscore,
-                                          sample_surface)
-    from vf_nerf_tpu.utils.ply import load_ply
+    """3D metrics for a baseline marching-cubes mesh (reference
+    ``methods.py:747-801``): loads ``mesh/mesh-scaled-{checkpoint}.ply``,
+    builds the refused variant (``mesh/refused-mesh-{checkpoint}.ply``),
+    and scores both — ``{"mc": ..., "refused": ...}`` with the
+    ``"chamfer distance"`` subdict plus ICP-aligned P/R/F
+    (``icp_align=True`` by default, as upstream: external baseline meshes
+    such as MonoSDF are not in the GT frame)."""
+    from vf_nerf_tpu.evaluation.renderer import refuse_mesh
+    from vf_nerf_tpu.utils.meshes import (chamfer_distance, sample_surface)
+    from vf_nerf_tpu.utils.ply import load_ply, save_ply
 
-    mesh_path = os.path.join(eval_path, f"{checkpoint}.ply")
+    mesh_path = os.path.join(eval_path, "mesh",
+                             f"mesh-scaled-{checkpoint}.ply")
+    if not os.path.exists(mesh_path):
+        raise FileExistsError("Marching cubes mesh does not exist. "
+                              "Please generate the mesh first.")
     verts, faces = load_ply(mesh_path)
+
+    refused_path = os.path.join(eval_path, "mesh",
+                                f"refused-mesh-{checkpoint}.ply")
+    if os.path.exists(refused_path):
+        rf_verts, rf_faces = load_ply(refused_path)
+    else:
+        dataset = dataset_dict[dataset_config.dataset_name](dataset_config)
+        rf_verts, rf_faces = refuse_mesh(verts, faces, dataset)
+        save_ply(refused_path, rf_verts, rf_faces)
+
     gt_verts, gt_faces = load_ply(_gt_mesh_path(dataset_config))
-    n_samples = _metric_sample_count()
-    pred_points = sample_surface(verts, faces, n_samples, seed=0)
+    n_samples = _metric_sample_count(num_points)
     gt_points = sample_surface(gt_verts, gt_faces, n_samples, seed=0)
-    acc, comp, chamfer = chamfer_distance(pred_points, gt_points)
-    prf = precision_recall_fscore(pred_points, gt_points, distance_thresh)
-    results = {"baseline": {"chamfer": chamfer, "accuracy": acc,
-                            "completeness": comp, **prf}}
+
+    results: Dict[str, Dict] = {}
+    for name, (v, f) in (("mc", (verts, faces)),
+                         ("refused", (rf_verts, rf_faces))):
+        if len(v) == 0:
+            results[name] = {"error": "empty mesh"}
+            continue
+        pred_points = sample_surface(v, f, n_samples, seed=0)
+        results[name] = {
+            "chamfer distance": chamfer_distance(pred_points, gt_points)}
+        results[name].update(
+            _run_evaluation(pred_points, gt_points, distance_thresh,
+                            icp=icp_align))
+
     with open(os.path.join(eval_path, "3d-metrics.json"), "w") as f:
         json.dump(results, f, indent=4)
     return results
