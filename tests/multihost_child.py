@@ -31,7 +31,8 @@ def main() -> None:
     from vf_nerf_tpu.parallel.mesh import DATA_AXIS
     from vf_nerf_tpu.parallel.multihost import (feed_global_batch,
                                                 global_mesh,
-                                                initialize_multihost)
+                                                initialize_multihost,
+                                                local_ray_slice)
 
     ok = initialize_multihost(f"localhost:{port}", nproc, pid)
     assert ok, "cluster did not come up"
@@ -59,6 +60,18 @@ def main() -> None:
         mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P()))
     total2 = float(f(x))
     assert abs(total2 - expected) < 1e-3, (total2, expected)
+
+    # Runner feeding contract (advisor r2 fix): every host assembles the
+    # SAME global batch (shared-seed RNG) and must feed only its
+    # local_ray_slice — the resulting global array holds each ray exactly
+    # once, so its sum equals the single-host batch sum (not nproc× it).
+    n_global = 8
+    full = np.arange(n_global * 3, dtype=np.float32).reshape(n_global, 3)
+    local = full[local_ray_slice(n_global, pid, nproc)]
+    batch2 = feed_global_batch(mesh, {"x": local})
+    assert batch2["x"].shape == (n_global, 3), batch2["x"].shape
+    total3 = float(jax.jit(jnp.sum)(batch2["x"]))
+    assert abs(total3 - full.sum()) < 1e-3, (total3, full.sum())
 
     print(f"MULTIHOST_OK pid={pid} total={total}", flush=True)
 

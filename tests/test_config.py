@@ -114,6 +114,26 @@ class TestParseConfig:
         assert set(wd) == {f"w_{i}" for i in range(11)}
         assert wd["w_0"] == pytest.approx(0.09)
 
+    def test_device_section_does_not_collide_with_cli(self, tmp_path):
+        """A conf [device] section setting platform/num_devices used to
+        TypeError against the CLI kwargs; CLI wins when given, conf
+        otherwise (advisor r2)."""
+        import shutil
+
+        conf_path = str(tmp_path / "with_device.conf")
+        shutil.copy(CONF, conf_path)
+        with open(conf_path, "a") as f:
+            f.write('\ndevice { platform = "cpu", num_devices = 4, '
+                    'steps_per_dispatch = 2 }\n')
+        cfg = parse_config(scene="office0", config_path=conf_path)
+        dev = cfg.vf_nerf_config.device_config
+        assert dev.platform == "cpu" and dev.num_devices == 4
+        assert dev.steps_per_dispatch == 2
+        cfg2 = parse_config(scene="office0", config_path=conf_path,
+                            gpu="tpu", num_devices=2)
+        dev2 = cfg2.vf_nerf_config.device_config
+        assert dev2.platform == "tpu" and dev2.num_devices == 2
+
     def test_invalid_anneal_mode_rejected(self):
         from vf_nerf_tpu.config.schema import VFNerfConfig
         cfg = parse_config(scene="x", config_path=CONF)

@@ -161,6 +161,17 @@ class TestMultiHost:
             assert p.returncode == 0, f"child {pid} failed:\n{out}"
             assert f"MULTIHOST_OK pid={pid}" in out, out
 
+    def test_local_ray_slice_partitions_exactly(self):
+        """Host slices tile the global ray axis disjointly (the dedup that
+        makes feed_global_batch hold each ray once; advisor r2)."""
+        from vf_nerf_tpu.parallel.multihost import local_ray_slice
+
+        n, nproc = 96, 4
+        idx = np.arange(n)
+        parts = [idx[local_ray_slice(n, p, nproc)] for p in range(nproc)]
+        assert all(len(p) == n // nproc for p in parts)
+        np.testing.assert_array_equal(np.concatenate(parts), idx)
+
     def test_autodetect_fallback_logs_and_returns_false(self):
         """Zero-arg initialize in a clean single process: no silent pass —
         either a logged warning + False, or a 1-process 'cluster' + False."""

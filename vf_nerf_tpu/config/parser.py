@@ -93,9 +93,16 @@ def parse_config(scene: str,
     ray_sampler_config = RaySamplerConfig(**conf["ray_sampler"])
     scheduler_config = SchedulerConfig(**conf["scheduler"])
 
-    platform = "" if gpu == "auto" else gpu
-    device_config = DeviceConfig(platform=platform, num_devices=num_devices,
-                                 **conf.get("device", {}))
+    # CLI args win over a conf's [device] section for the two keys both can
+    # set (splatting both raised TypeError on the collision — advisor r2).
+    device_conf = dict(conf.get("device", {}))
+    conf_platform = device_conf.pop("platform", "")
+    conf_num_devices = device_conf.pop("num_devices", 0)
+    platform = conf_platform if gpu == "auto" else gpu
+    device_config = DeviceConfig(
+        platform=platform,
+        num_devices=num_devices if num_devices else conf_num_devices,
+        **device_conf)
 
     vf_nerf_config = VFNerfConfig(vf_net_config, render_net_config,
                                   ray_sampler_config, device_config,

@@ -284,47 +284,62 @@ class DeviceMeshExtractor:
 
     def _extract_many_multichip(self, octants, centroid, world_coords,
                                 devices):
-        """Octants round-robin over devices; every device's stage-1 (field
-        grid + mask) dispatches up front and runs concurrently — jit routes
-        each call to the device its committed inputs live on."""
+        """Octants round-robin over devices; stage-1 (field grid + mask)
+        dispatches run concurrently across chips, but in-flight octants are
+        BOUNDED to 2 per device — dispatching all up front kept every
+        octant's (vt, norms) grids alive at once (~270 MB/octant at res 256
+        → multi-GB/chip pinned at 64 octants; advisor r2 finding). The next
+        octant's stage-1 only dispatches after a completed one is drained,
+        preserving the concurrency without accumulating field grids."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        staged = []
-        for k, (translation, sub_scale) in enumerate(octants):
-            dev = devices[k % len(devices)]
-            offset = np.asarray(translation) + np.asarray(centroid)
-            scale_d = jax.device_put(jnp.float32(sub_scale), dev)
-            off_d = jax.device_put(jnp.asarray(offset, jnp.float32), dev)
-            staged.append((self._stage1(scale_d, off_d), offset, sub_scale))
-
+        max_inflight = 2 * len(devices)
+        staged: deque = deque()
         results = []
+
+        def drain_one(pool) -> None:
+            # Pops the oldest octant so its (vt, norms) buffers die as soon
+            # as the stage-2 loop is done with them.
+            (vt, norms, mask), offset, sub_scale = staged.popleft()
+            mask_host = np.asarray(jax.device_get(mask))
+            cells = np.argwhere(mask_host).astype(np.int32)
+            if len(cells) == 0:
+                results.append(pool.submit(lambda: _EMPTY))
+                return
+            bucket = self.cell_bucket
+            signed_all = np.empty((len(cells), 8), np.float32)
+            crossing_all = np.empty((len(cells),), bool)
+            for start in range(0, len(cells), bucket):
+                end = min(start + bucket, len(cells))
+                block = cells[start:end]
+                pad = bucket - (end - start)
+                if pad:
+                    block = np.concatenate(
+                        [block, np.repeat(block[-1:], pad, 0)])
+                dev = vt.devices().pop()
+                signed, crossing = self._stage2(
+                    vt, norms, jax.device_put(jnp.asarray(block), dev))
+                signed_all[start:end] = np.asarray(signed)[:end - start]
+                crossing_all[start:end] = \
+                    np.asarray(crossing)[:end - start]
+            results.append(pool.submit(
+                self.host_tail, cells[crossing_all],
+                signed_all[crossing_all], sub_scale, offset, world_coords))
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for (vt, norms, mask), offset, sub_scale in staged:
-                mask_host = np.asarray(jax.device_get(mask))
-                cells = np.argwhere(mask_host).astype(np.int32)
-                if len(cells) == 0:
-                    results.append(pool.submit(lambda: _EMPTY))
-                    continue
-                bucket = self.cell_bucket
-                signed_all = np.empty((len(cells), 8), np.float32)
-                crossing_all = np.empty((len(cells),), bool)
-                for start in range(0, len(cells), bucket):
-                    end = min(start + bucket, len(cells))
-                    block = cells[start:end]
-                    pad = bucket - (end - start)
-                    if pad:
-                        block = np.concatenate(
-                            [block, np.repeat(block[-1:], pad, 0)])
-                    dev = vt.devices().pop()
-                    signed, crossing = self._stage2(
-                        vt, norms, jax.device_put(jnp.asarray(block), dev))
-                    signed_all[start:end] = np.asarray(signed)[:end - start]
-                    crossing_all[start:end] = \
-                        np.asarray(crossing)[:end - start]
-                results.append(pool.submit(
-                    self.host_tail, cells[crossing_all],
-                    signed_all[crossing_all], sub_scale, offset,
-                    world_coords))
+            for k, (translation, sub_scale) in enumerate(octants):
+                if len(staged) >= max_inflight:
+                    drain_one(pool)
+                dev = devices[k % len(devices)]
+                offset = np.asarray(translation) + np.asarray(centroid)
+                scale_d = jax.device_put(jnp.float32(sub_scale), dev)
+                off_d = jax.device_put(jnp.asarray(offset, jnp.float32),
+                                       dev)
+                staged.append((self._stage1(scale_d, off_d), offset,
+                               sub_scale))
+            while staged:
+                drain_one(pool)
             return [f.result() for f in results]
 
 

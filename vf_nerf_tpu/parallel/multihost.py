@@ -58,6 +58,24 @@ def global_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
 
 
+def local_ray_slice(n_global: int,
+                    process_index: Optional[int] = None,
+                    process_count: Optional[int] = None) -> slice:
+    """This host's contiguous slice of a global ray axis of size
+    ``n_global`` (must divide by the process count — the runner trims the
+    batch to a multiple of the global device count, which the host count
+    divides).
+
+    Every host assembles the same global batch from the shared-seed RNG;
+    each must feed ONLY its own slice to
+    ``jax.make_array_from_process_local_data`` or the 'global' batch holds
+    each ray ``process_count`` times (advisor r2 finding)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n_global // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
 def feed_global_batch(mesh: Mesh,
                       local_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Assemble a globally-sharded ray batch from each host's local slice.

@@ -235,8 +235,11 @@ class VectorFieldNerfRunner:
         trimmed = {k: v[:n] for k, v in batch.items() if v.size > 0}
         packed = pack_batch(trimmed)
         if self.multihost:
-            # Each host contributes its local slice of the global batch.
+            # Every host assembled the same global batch (shared-seed RNG);
+            # feed only THIS host's slice so the global array holds each ray
+            # exactly once (n_rays statics stay sized by the global count).
             from vf_nerf_tpu.parallel import multihost
+            packed = packed[multihost.local_ray_slice(n)]
             return multihost.feed_global_batch(
                 self.mesh, {"packed": packed})["packed"]
         if self.mesh is not None:
@@ -248,9 +251,13 @@ class VectorFieldNerfRunner:
         if self.multihost:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from vf_nerf_tpu.parallel import multihost
             from vf_nerf_tpu.parallel.mesh import DATA_AXIS
+            # Same dedup as _feed: this host's slice of the shared global
+            # batch, so the (K, R, 38) global array holds each ray once.
+            local = stacked[:, multihost.local_ray_slice(stacked.shape[1])]
             sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-            return jax.make_array_from_process_local_data(sharding, stacked)
+            return jax.make_array_from_process_local_data(sharding, local)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -267,19 +274,23 @@ class VectorFieldNerfRunner:
         if self.mesh is not None:
             self.model.state = mesh_lib.replicate_state(self.mesh,
                                                         self.model.state)
-        for epoch in range(cfg.start_epoch, cfg.num_epochs):
-            self.dataset.sample_new_images()
-            if rs.fine_sampling() and epoch % rs.increase_every == 0:
-                self.model.fine_n_samples = min(
-                    self.model.fine_n_samples + 5, rs.max_samples)
-            logged = self.train_epoch(epoch)
-            if epoch % cfg.save_frequency == 0:
-                self.model.save(epoch, self.ckpt_dir)
-            if logged is not None:
-                print(f"Epoch {logged[0]}: Loss {logged[1]}")
-        final = self._resolve_pending_log()
-        if final is not None:
-            print(f"Epoch {final[0]}: Loss {final[1]}")
+        try:
+            for epoch in range(cfg.start_epoch, cfg.num_epochs):
+                self.dataset.sample_new_images()
+                if rs.fine_sampling() and epoch % rs.increase_every == 0:
+                    self.model.fine_n_samples = min(
+                        self.model.fine_n_samples + 5, rs.max_samples)
+                logged = self.train_epoch(epoch)
+                if epoch % cfg.save_frequency == 0:
+                    self.model.save(epoch, self.ckpt_dir)
+                if logged is not None:
+                    print(f"Epoch {logged[0]}: Loss {logged[1]}")
+        finally:
+            # Flush the one-epoch-deferred log even on crash/interrupt so
+            # the last completed epoch's metrics survive for post-mortem.
+            final = self._resolve_pending_log()
+            if final is not None:
+                print(f"Epoch {final[0]}: Loss {final[1]}")
         cfg.start_epoch = cfg.num_epochs + 1
         self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
 
@@ -330,6 +341,7 @@ class VectorFieldNerfRunner:
                 self.model.state = state
                 count += len(block)
                 self._timer.tick()
+            dispatch_t1 = time.perf_counter()
         else:
             # Per-step dispatch: batch assembly + packing + host→device
             # transfer run one step ahead in a worker thread.
@@ -355,6 +367,10 @@ class VectorFieldNerfRunner:
         pending = {
             "epoch": epoch, "count": count, "window": window,
             "t0": epoch_t0,
+            # End of THIS epoch's dispatch loop: the throughput denominator
+            # stops here instead of at the deferred resolution (which would
+            # fold the next epoch's host-side packing into epoch e's rate).
+            "t1": dispatch_t1 if spd != 1 else None,
             # state.step is copied: the state buffers get DONATED by the
             # next epoch's first dispatch, which would delete the stashed
             # reference before the deferred fetch. sums and the derived
@@ -386,9 +402,13 @@ class VectorFieldNerfRunner:
             averages["rays_per_sec"] = self._timer.rays_per_sec(
                 self._batch_rays())
         else:
-            # Wall-clock from the epoch's start to ITS resolution (the
-            # device finished it before starting the next epoch's work).
-            elapsed = time.perf_counter() - pending["t0"]
+            # Wall-clock of the epoch's own dispatch loop (t0 → end of its
+            # last dispatch). Dispatches are async but each scan step blocks
+            # on the previous step's donated state, so t1 trails the device
+            # by at most one in-flight dispatch — far closer to the device
+            # rate than timing to the deferred resolution, which included
+            # the NEXT epoch's eager host-side packing (advisor r2).
+            elapsed = pending["t1"] - pending["t0"]
             averages["rays_per_sec"] = count * self._batch_rays() / elapsed
         self.logger.log(averages, step=pending["epoch"])
         return pending["epoch"], averages.get("loss", float("nan"))
