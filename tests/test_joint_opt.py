@@ -176,6 +176,31 @@ joint_optimization {
         assert not np.allclose(np.asarray(p_a["poses"]),
                                np.asarray(params["poses"]))
 
+    def test_scan_dispatch_equals_per_step_dispatch(self, tmp_path):
+        """VERDICT r2 #4: the joint stage inherits the main trainer's
+        scan-dispatch architecture — K steps per dispatch (here: the whole
+        epoch) computes the same update as per-step dispatch, including the
+        supervised block and the PRNG chain."""
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+
+        cfg = self._build(tmp_path)
+        results = {}
+        for spd in (1, 0):
+            cfg.vf_config.vf_nerf_config.device_config.steps_per_dispatch \
+                = spd
+            runner = JointOptimizationRunner(cfg)
+            metrics = runner.train()
+            results[spd] = (jax.device_get(runner.model.state.params),
+                            runner.pose_params.copy(), metrics["loss"])
+
+        p1, poses1, loss1 = results[1]
+        p0, poses0, loss0 = results[0]
+        assert loss0 == pytest.approx(loss1, rel=1e-5)
+        np.testing.assert_allclose(poses0, poses1, atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            p0, p1)
+
     def test_joint_training_runs_and_improves(self, tmp_path):
         from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
         cfg = self._build(tmp_path)

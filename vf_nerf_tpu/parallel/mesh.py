@@ -64,6 +64,14 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
         lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a (K, R, ...) stacked batch with axis 1 (rays) split across
+    devices — the scan-dispatch layout (axis 0 is the scan/step axis)."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
 def replicate_state(mesh: Mesh, state: Any) -> Any:
     """Replicate the train state on every device of the mesh."""
     sharding = replicated(mesh)

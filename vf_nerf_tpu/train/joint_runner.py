@@ -116,10 +116,9 @@ class JointOptimizationRunner:
                                     vf_cfg.timestamp or "joint",
                                     offline=vf_cfg.offline)
         self._bases: Optional[np.ndarray] = None
-        self._step_cache: Dict[Any, Any] = {}
 
     # ----------------------------------------------------------- bases
-    def dominant_bases(self, key: jax.Array) -> np.ndarray:
+    def dominant_bases(self) -> np.ndarray:
         """Dominant scene directions (reference ``get_dominant_bases``).
 
         ``self_supervise``: cluster the current field at surface points
@@ -171,7 +170,11 @@ class JointOptimizationRunner:
                      "similarity_loss")
     SUP_METRICS = ("loss", "surface_loss", "non_surface_loss")
 
-    def _joint_step_fn(self, statics):
+    def _joint_step_core(self, statics):
+        """The un-jitted joint step body, shared by the per-step jit and the
+        K-steps-per-dispatch ``lax.scan`` wrapper (same scan-dispatch
+        architecture as the main trainer,
+        ``parallel/train_step.make_scan_train_step``)."""
         modules = self.model.modules
         weights = self.weights
         depth_clamp = 0.5
@@ -218,9 +221,35 @@ class JointOptimizationRunner:
             sums = {k: sums[k] + parts[k] for k in self.JOINT_METRICS}
             return params, opt_state, sums
 
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        return step
 
-    def _supervised_step_fn(self):
+    def _joint_step_fn(self, statics):
+        return jax.jit(self._joint_step_core(statics),
+                       donate_argnums=(0, 1, 2))
+
+    def _joint_scan_step_fn(self, statics):
+        """K joint steps per dispatch: scan the core over a (K, R, ...)
+        stacked batch. The PRNG chain matches the per-step path bit-exactly
+        (each body iteration performs the same ``jax.random.split`` the host
+        loop does), so scan ≡ sequential (``tests/test_joint_opt.py``)."""
+        core = self._joint_step_core(statics)
+
+        def scan_step(params, opt_state, sums, batch_stats, stacked, key,
+                      near, far, window):
+            def body(carry, batch):
+                params, opt_state, sums, key = carry
+                key, sub = jax.random.split(key)
+                params, opt_state, sums = core(
+                    params, opt_state, sums, batch_stats, batch, sub, near,
+                    far, window)
+                return (params, opt_state, sums, key), None
+            (params, opt_state, sums, key), _ = jax.lax.scan(
+                body, (params, opt_state, sums, key), stacked)
+            return params, opt_state, sums, key
+
+        return jax.jit(scan_step, donate_argnums=(0, 1, 2))
+
+    def _supervised_step_core(self):
         modules = self.model.modules
         weights = self.weights
         tx = self.joint_tx
@@ -248,7 +277,29 @@ class JointOptimizationRunner:
             sums = {k: sums[k] + parts[k] for k in self.SUP_METRICS}
             return params, opt_state, sums
 
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        return step
+
+    def _supervised_step_fn(self):
+        return jax.jit(self._supervised_step_core(),
+                       donate_argnums=(0, 1, 2))
+
+    def _supervised_scan_step_fn(self):
+        """The whole supervision block in one dispatch: scan the supervised
+        core over (K, N, 3)-stacked point sets (they are assembled up front
+        anyway — the targets snap against the block-start field)."""
+        core = self._supervised_step_core()
+
+        def scan_step(params, opt_state, sums, batch_stats, stacked):
+            def body(carry, arrays):
+                params, opt_state, sums = carry
+                params, opt_state, sums = core(params, opt_state, sums,
+                                               batch_stats, *arrays)
+                return (params, opt_state, sums), None
+            (params, opt_state, sums), _ = jax.lax.scan(
+                body, (params, opt_state, sums), stacked)
+            return params, opt_state, sums
+
+        return jax.jit(scan_step, donate_argnums=(0, 1, 2))
 
     def _supervision_batch(self, rng: np.random.RandomState, n: int = 4096
                            ) -> Tuple[np.ndarray, ...]:
@@ -294,6 +345,29 @@ class JointOptimizationRunner:
             return mesh_lib.shard_batch(self.mesh, out)
         return tuple(jnp.asarray(a) for a in out)
 
+    def _feed_rays_stack(self, batches) -> Dict[str, Any]:
+        """Stack K host ray batches into (K, R, ...) arrays, rays sharded on
+        axis 1 (scan-dispatch layout, like the main runner's
+        ``_feed_stack``)."""
+        keys = ("uv", "rgb", "depth", "intrinsics", "view_idx")
+        n = self._trim(len(batches[0]["uv"]))
+        stacked = {k: np.stack([np.asarray(b[k])[:n] for b in batches])
+                   for k in keys
+                   if k in batches[0] and np.asarray(batches[0][k]).size > 0}
+        if self.mesh is not None:
+            return mesh_lib.shard_stacked_batch(self.mesh, stacked)
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+    def _feed_points_stack(self, batches) -> Tuple[Any, ...]:
+        """Stack K supervision point-set tuples into (K, N, 3) arrays,
+        points sharded on axis 1."""
+        n = self._trim(len(batches[0][0]))
+        stacked = tuple(np.stack([b[i][:n] for b in batches])
+                        for i in range(len(batches[0])))
+        if self.mesh is not None:
+            return mesh_lib.shard_stacked_batch(self.mesh, stacked)
+        return tuple(jnp.asarray(a) for a in stacked)
+
     def _zero_sums(self, keys: Tuple[str, ...]) -> Dict[str, jnp.ndarray]:
         sums = {k: jnp.zeros((), jnp.float32) for k in keys}
         if self.mesh is not None:
@@ -302,11 +376,20 @@ class JointOptimizationRunner:
 
     # ------------------------------------------------------------ train
     def train(self) -> Dict[str, float]:
+        import time
+
         cfg = self.config
         tc = cfg.train_config
         statics = self.model.render_statics(train=False)
-        joint_step = self._joint_step_fn(statics)
-        sup_step = self._supervised_step_fn()
+        spd = self.config.vf_config.vf_nerf_config.device_config \
+            .steps_per_dispatch
+        scan_mode = spd != 1
+        if scan_mode:
+            joint_step = self._joint_scan_step_fn(statics)
+            sup_step = self._supervised_scan_step_fn()
+        else:
+            joint_step = self._joint_step_fn(statics)
+            sup_step = self._supervised_step_fn()
 
         params = {"model": self.model.state.params,
                   "poses": jnp.asarray(self.pose_params)}
@@ -327,17 +410,23 @@ class JointOptimizationRunner:
             epoch_log: Dict[str, float] = {}
             if (self.weights.supervision > 0 and tc.supervise_every > 0
                     and epoch % tc.supervise_every == 0):
-                self._bases = self.dominant_bases(key)
+                self._bases = self.dominant_bases()
                 # Targets snap against the field at block start; batches are
                 # assembled up front so the device never waits on a per-step
                 # host sync.
                 batches = [self._supervision_batch(rng)
                            for _ in range(tc.supervision_epochs)]
                 sup_sums = self._zero_sums(self.SUP_METRICS)
-                for arrays in batches:
-                    fed = self._feed_points(*arrays)
+                if scan_mode and batches:
+                    # Whole supervision block in ONE dispatch.
+                    fed = self._feed_points_stack(batches)
                     params, opt_state, sup_sums = sup_step(
-                        params, opt_state, sup_sums, batch_stats, *fed)
+                        params, opt_state, sup_sums, batch_stats, fed)
+                else:
+                    for arrays in batches:
+                        fed = self._feed_points(*arrays)
+                        params, opt_state, sup_sums = sup_step(
+                            params, opt_state, sup_sums, batch_stats, *fed)
                 self._sync_model(params)
                 n_sup = max(len(batches), 1)
                 epoch_log.update(
@@ -346,16 +435,37 @@ class JointOptimizationRunner:
 
             sums = self._zero_sums(self.JOINT_METRICS)
             count = 0
-            for batch in self.dataset.epoch_batches(rng):
-                key, sub = jax.random.split(key)
-                fed = self._feed_rays(batch)
-                params, opt_state, sums = joint_step(
-                    params, opt_state, sums, batch_stats, fed, sub, near,
-                    far, window)
-                count += 1
+            n_rays = 0
+            t0 = time.perf_counter()
+            if scan_mode:
+                # K joint steps per dispatch (main-trainer scan-dispatch
+                # architecture, VERDICT r2 #4): the per-dispatch relay
+                # latency amortizes to 1/K.
+                all_batches = list(self.dataset.epoch_batches(rng))
+                n_rays = self._trim(len(all_batches[0]["uv"]))
+                chunk = len(all_batches) if spd <= 0 else spd
+                for start in range(0, len(all_batches), chunk):
+                    block = all_batches[start:start + chunk]
+                    fed = self._feed_rays_stack(block)
+                    params, opt_state, sums, key = joint_step(
+                        params, opt_state, sums, batch_stats, fed, key,
+                        near, far, window)
+                    count += len(block)
+            else:
+                for batch in self.dataset.epoch_batches(rng):
+                    key, sub = jax.random.split(key)
+                    fed = self._feed_rays(batch)
+                    n_rays = self._trim(len(batch["uv"]))
+                    params, opt_state, sums = joint_step(
+                        params, opt_state, sums, batch_stats, fed, sub,
+                        near, far, window)
+                    count += 1
             self._sync_model(params)
             epoch_log.update({k: float(v) / max(count, 1)
                               for k, v in jax.device_get(sums).items()})
+            # device_get above synced the epoch's device work.
+            elapsed = time.perf_counter() - t0
+            epoch_log["rays_per_sec"] = count * n_rays / max(elapsed, 1e-9)
             last = epoch_log
             self.logger.log(last, step=epoch)
             if epoch % cfg.save_frequency == 0:
