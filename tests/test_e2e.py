@@ -373,6 +373,51 @@ class TestReproducibility:
         assert losses[0] is not None
         assert losses[0] == losses[1]
 
+    def test_span_dispatch_equals_per_step(self, tmp_path_factory):
+        """runner.train() with epoch-SPANNING dispatches (spd=64 covers all
+        epochs' steps in one scan, crossing save + fine-growth boundaries)
+        is bit-identical to per-step dispatch — same per-epoch base keys,
+        same step-folded PRNG, same optimizer sequence."""
+        import jax
+        import numpy as np
+
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+        root = str(tmp_path_factory.mktemp("span"))
+        ds = SyntheticBoxDataset(n_images=2, image_size=(8, 12),
+                                 pixels_per_batch=64)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        conf = TINY_CONF.replace("EXPS_PLACEHOLDER",
+                                 os.path.join(root, "exps"))
+        conf = conf.replace("pixels_per_batch = 96",
+                            "pixels_per_batch = 64")
+        conf = conf.replace("num_epochs = 3", "num_epochs = 5")
+        conf = conf.replace("increase_every = 50", "increase_every = 2")
+        with open(conf_path, "w") as f:
+            f.write(conf)
+
+        params = {}
+        for spd in (64, 1):
+            config = parse_config(scene="boxroom", config_path=conf_path,
+                                  expname="r", timestamp=f"span{spd}",
+                                  data_root_dir=root, offline=True)
+            config.vf_nerf_config.device_config.steps_per_dispatch = spd
+            runner = VectorFieldNerfRunner(config)
+            runner.train()
+            params[spd] = jax.device_get(runner.model.state.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) -
+                                             np.asarray(b)))),
+            params[64], params[1])
+        # Same math, different compiled programs (the span body also emits
+        # density scalars, changing XLA's fusion): per-epoch losses print
+        # bit-equal; params agree to one-ulp-level rounding (measured
+        # max 1.5e-8 over 5 epochs).
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-7
+
     def test_scan_dispatch_equals_per_step_dispatch(self, tmp_path_factory):
         """The default scan path (steps_per_dispatch=64) and the per-step
         path (=1) produce bit-identical parameters after two epochs."""

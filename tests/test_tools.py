@@ -295,6 +295,59 @@ class TestLpips:
         assert d_ab > 1e-4
         assert d_ab == pytest.approx(d_ba, rel=1e-5)
 
+    def test_full_size_torch_oracle_parity(self, tmp_path, monkeypatch):
+        """Full VGG16-shape random weights through our JAX forward vs a
+        torch mirror of the ``lpips`` package semantics (padding-1 convs,
+        relu, 2x2 maxpool, 1e-10 channel-unit normalize, per-channel lin,
+        spatial mean, tap sum — ``lpips/lpips.py``). Pins the padding/pool
+        conventions the real-weight run depends on; the exporter
+        (tools/export_lpips_weights.py) supplies the trained values
+        online."""
+        import torch
+        import torch.nn.functional as F
+
+        path = str(tmp_path / "vgg_lpips.npz")
+        _write_tiny_lpips_npz(path, widths=(64, 128, 256, 512, 512),
+                              seed=7)
+        monkeypatch.setenv("VF_NERF_LPIPS_WEIGHTS", path)
+        from vf_nerf_tpu.utils.metrics import (_LPIPS_SCALE, _LPIPS_SHIFT,
+                                               get_lpips)
+        weights = np.load(path)
+        blocks = (2, 2, 3, 3, 3)
+
+        def torch_taps(img):
+            x = torch.from_numpy(
+                img.transpose(2, 0, 1)[None] * 2.0 - 1.0)
+            h = (x - torch.from_numpy(_LPIPS_SHIFT).view(1, 3, 1, 1)) / \
+                torch.from_numpy(_LPIPS_SCALE).view(1, 3, 1, 1)
+            taps, ci = [], 0
+            for bi, n_convs in enumerate(blocks):
+                for _ in range(n_convs):
+                    w = torch.from_numpy(weights[f"conv{ci}_w"])
+                    b = torch.from_numpy(weights[f"conv{ci}_b"])
+                    h = F.relu(F.conv2d(h, w, b, padding=1))
+                    ci += 1
+                norm = h.pow(2).sum(1, keepdim=True).sqrt()
+                taps.append(h / (norm + 1e-10))
+                if bi < len(blocks) - 1:
+                    h = F.max_pool2d(h, 2)
+            return taps
+
+        rng = np.random.RandomState(11)
+        a = rng.rand(32, 32, 3).astype(np.float32)
+        b = np.clip(a + 0.15 * rng.randn(32, 32, 3), 0, 1).astype(
+            np.float32)
+        with torch.no_grad():
+            ta, tb = torch_taps(a), torch_taps(b)
+            expected = 0.0
+            for i, (fa, fb) in enumerate(zip(ta, tb)):
+                lin = torch.from_numpy(weights[f"lin{i}"])
+                diff = (fa - fb) ** 2
+                expected += float(
+                    (diff * lin.view(1, -1, 1, 1)).sum(1).mean())
+        ours = get_lpips(a, b)
+        assert ours == pytest.approx(expected, rel=1e-4)
+
     def test_real_weights_parity(self):
         """Runs only where a real exported LPIPS npz is present."""
         from vf_nerf_tpu.utils.metrics import get_lpips, lpips_available

@@ -28,6 +28,15 @@ def main() -> None:
     parser.add_argument("--views", type=int, default=8)
     parser.add_argument("--size", type=int, nargs=2, default=[680, 1200])
     parser.add_argument("--workdir", type=str, default="/tmp/vf_throughput")
+    parser.add_argument("--span", action="store_true",
+                        help="measure the epoch-spanning dispatch path "
+                             "(runner._train_span) instead of per-epoch "
+                             "scan dispatches")
+    parser.add_argument("--static-fine", action="store_true",
+                        help="enable static_fine_growth (one compiled "
+                             "program across growth stages)")
+    parser.add_argument("--spd", type=int, default=0,
+                        help="override steps_per_dispatch")
     args = parser.parse_args()
 
     from vf_nerf_tpu.config.parser import parse_config
@@ -61,20 +70,65 @@ def main() -> None:
                           offline=True)
     config.dataset_config.factor = 1  # keep all exported views
     config.num_epochs = args.epochs + 1
+    if args.static_fine:
+        config.vf_nerf_config.device_config.static_fine_growth = True
+    if args.spd:
+        config.vf_nerf_config.device_config.steps_per_dispatch = args.spd
     runner = VectorFieldNerfRunner(config)
     n_rays = runner._batch_rays()
     steps_per_epoch = len(runner.dataset)
 
+    if args.span:
+        import jax
+        spd = config.vf_nerf_config.device_config.steps_per_dispatch
+        # Warmup must execute BOTH dispatch shapes (the full chunk and the
+        # tail) — the relay compiles server-side at first execution of each
+        # shape, which would otherwise land inside the timed region.
+        chunk = spd if spd > 0 else steps_per_epoch
+        warm = max(2, chunk // steps_per_epoch + 1)
+        print(f"== warmup ({warm} epochs through _train_span) ==",
+              flush=True)
+        t0 = time.perf_counter()
+        config.start_epoch, config.num_epochs = 0, warm
+        runner._train_span(spd)
+        int(jax.device_get(runner.model.state.step))
+        print(f"warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+        print(f"== timing {args.epochs} epochs x {steps_per_epoch} steps "
+              f"x {n_rays} rays (span) ==", flush=True)
+        config.start_epoch, config.num_epochs = warm, warm + args.epochs
+        t0 = time.perf_counter()
+        runner._train_span(spd)
+        int(jax.device_get(runner.model.state.step))
+        elapsed = time.perf_counter() - t0
+        total_rays = args.epochs * steps_per_epoch * n_rays
+        print(json.dumps({
+            "metric": "sustained train rays/sec (span dispatch)",
+            "value": round(total_rays / elapsed, 1),
+            "unit": "rays/sec",
+            "per_step_ms": round(
+                elapsed / (args.epochs * steps_per_epoch) * 1e3, 2),
+            "n_rays": n_rays,
+        }), flush=True)
+        return
+
+    # The epoch-ahead assembler (runner.train()'s scan-mode path):
+    # epoch-boundary host work overlaps the in-flight device scan.
+    from vf_nerf_tpu.train.runner import _EpochAssembler
+    spd = config.vf_nerf_config.device_config.steps_per_dispatch
+    assembler = _EpochAssembler(runner, range(0, args.epochs + 2), spd) \
+        if spd != 1 else None
+    if assembler is None:
+        runner.dataset.sample_new_images()
+
     print("== warmup epochs (compile + first relay execution) ==", flush=True)
-    runner.dataset.sample_new_images()
     t0 = time.perf_counter()
     import jax
     # Two epochs + a hard sync: the scan dispatch is async and its FIRST
     # execution through the relay pays the remote compile (~1-3 min); the
     # deferred epoch-log fetch would otherwise absorb that wait inside the
     # timed region.
-    runner.train_epoch(0)
-    runner.train_epoch(1)
+    runner.train_epoch(0, assembler)
+    runner.train_epoch(1, assembler)
     runner._resolve_pending_log()
     int(jax.device_get(runner.model.state.step))
     print(f"warmup: {time.perf_counter() - t0:.1f}s", flush=True)
@@ -83,7 +137,7 @@ def main() -> None:
           f"x {n_rays} rays ==", flush=True)
     t0 = time.perf_counter()
     for epoch in range(2, args.epochs + 2):
-        runner.train_epoch(epoch)
+        runner.train_epoch(epoch, assembler)
     runner._resolve_pending_log()
     int(jax.device_get(runner.model.state.step))
     elapsed = time.perf_counter() - t0

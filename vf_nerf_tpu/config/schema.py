@@ -108,6 +108,14 @@ class DeviceConfig:
     # remote-attached TPUs; semantics are bit-identical to per-step
     # dispatch (parallel/train_step.make_scan_train_step).
     steps_per_dispatch: int = 64
+    # Static fine-growth: pad the fine-sample axis to max_samples and mask
+    # the tail so ONE compiled program serves every +5 growth stage
+    # (instead of one re-jit — minutes of server-side compile through the
+    # axon relay — per stage, ×15 over a full run). Bit-equal to the
+    # growing-shape program when perturb=False; under perturb the RNG
+    # streams are shaped by the static width — same distribution,
+    # different draws (PARITY.md).
+    static_fine_growth: bool = False
 
 
 @dataclass

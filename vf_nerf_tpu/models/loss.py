@@ -53,7 +53,9 @@ def vf_loss(predictions: Dict[str, jnp.ndarray],
 
     :param predictions: ``rgb`` (R, 3), ``depth`` (R, 1), ``normals``
         (N, 3) all rendered field samples, optional
-        ``dir_derivative_norms`` (M,).
+        ``dir_derivative_norms`` (M,), optional ``sample_mask`` (N,) —
+        1.0 for live ray samples (static fine-growth mode pads the sample
+        axis; masked means over the live entries equal the unpadded means).
     :param ground_truth: ``rgb`` (R, 3), ``depth`` (R, 1) (size 0 to skip).
     :param supervision_terms: list of (pred_normals, gt_normals, mask or None)
         triples pooled into one MSE, mirroring the reference's concatenation
@@ -72,7 +74,15 @@ def vf_loss(predictions: Dict[str, jnp.ndarray],
         depth_loss = jnp.asarray(0.0, rgb_loss.dtype)
 
     norms = jnp.linalg.norm(predictions["normals"], axis=1)
-    unit_norm_loss = jnp.mean((norms - 1.0) ** 2)
+    sample_mask = predictions.get("sample_mask")
+
+    def _sample_mean(values: jnp.ndarray) -> jnp.ndarray:
+        if sample_mask is None:
+            return jnp.mean(values)
+        return jnp.sum(values * sample_mask) / jnp.maximum(
+            jnp.sum(sample_mask), 1.0)
+
+    unit_norm_loss = _sample_mean((norms - 1.0) ** 2)
 
     sup_sum = jnp.asarray(0.0, rgb_loss.dtype)
     sup_count = jnp.asarray(0.0, rgb_loss.dtype)
@@ -83,14 +93,15 @@ def vf_loss(predictions: Dict[str, jnp.ndarray],
     supervision_loss = jnp.where(sup_count > 0, sup_sum / jnp.maximum(
         sup_count, 1.0), 0.0)
 
-    hinge = jnp.mean(jnp.maximum(norms - 1.0, 0.0) ** 2)
+    hinge = _sample_mean(jnp.maximum(norms - 1.0, 0.0) ** 2)
     norm_hinge_loss = jnp.where(epoch >= config.norm_smaller_than_one_start,
                                 hinge, 0.0)
 
     dd = predictions.get("dir_derivative_norms")
     if dd is not None:
         dir_deriv_loss = jnp.where(
-            epoch >= config.directional_derivatives_start, jnp.mean(dd), 0.0)
+            epoch >= config.directional_derivatives_start,
+            _sample_mean(dd), 0.0)
     else:
         dir_deriv_loss = jnp.asarray(0.0, rgb_loss.dtype)
 

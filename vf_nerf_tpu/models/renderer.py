@@ -274,7 +274,8 @@ def get_density(normals: jnp.ndarray,
                 density_params: DensityParams,
                 window_weights: jnp.ndarray,
                 statics: RenderStatics,
-                fine: bool) -> jnp.ndarray:
+                fine: bool,
+                n_valid=None) -> jnp.ndarray:
     """VF → σ glue (reference ``VectorFieldNerf.get_density``,
     ``models/nerf/vector_field_nerf.py:442-474``).
 
@@ -282,6 +283,10 @@ def get_density(normals: jnp.ndarray,
     :param ray_dirs: (R, S, 3) unit ray dirs repeated over samples.
     :param window_weights: (W,) the *annealed* weights — only consulted in
         ``anneal_fine`` mode on the fine pass, per the reference quirk.
+    :param n_valid: optional traced live-sample count (static fine-growth
+        mode): σ is zeroed from position ``n_valid - 1`` on — the live last
+        sample gets the reference's forced σ = 0 and every pad sample
+        contributes nothing to the volume rendering.
     :return: (R, S) densities with back-facing suppression and σ_last = 0.
     """
     n_taps = statics.n_window
@@ -290,7 +295,8 @@ def get_density(normals: jnp.ndarray,
     else:
         weights = jnp.full((n_taps,), 1.0 / n_taps, dtype=normals.dtype)
 
-    cos = window_cosine_similarity(normals[:, :-1], normals[:, 1:], weights)
+    cos = window_cosine_similarity(normals[:, :-1], normals[:, 1:], weights,
+                                   n_valid=n_valid)
     cos_ray = cosine_similarity(normals[:, :-1], ray_dirs[:, :-1])
 
     sigma = laplace_density(-cos, density_params, statics.beta_bounds,
@@ -298,6 +304,9 @@ def get_density(normals: jnp.ndarray,
                             cutoff=statics.cutoff)
     suppress = jnp.logical_and(cos_ray < statics.dir_to_normal_th, cos < 0.0)
     sigma = jnp.where(suppress, 0.0, sigma)
+    if n_valid is not None:
+        idx = jnp.arange(sigma.shape[1])[None, :]
+        sigma = jnp.where(idx >= n_valid - 1, 0.0, sigma)
     # Last sample: cosine treated as 1 → σ = 0 (reference :471-472).
     return jnp.concatenate(
         [sigma, jnp.zeros((sigma.shape[0], 1), sigma.dtype)], axis=-1)
@@ -321,14 +330,27 @@ def render_rays(modules: VFNerfModules,
                 far: jnp.ndarray,
                 window_weights: jnp.ndarray,
                 key: jax.Array,
-                statics: RenderStatics) -> Dict[str, jnp.ndarray]:
+                statics: RenderStatics,
+                n_fine_active=None) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays end to end (reference ``render``, §3.2).
 
     :param uv: (R, 2) pixels; ``pose`` (R, 4, 4) or (R, 7); ``intrinsics``
         (R, 4, 4); ``near``/``far`` scalars; ``window_weights`` (W,).
+    :param n_fine_active: optional traced live fine-sample count ≤
+        ``statics.n_fine`` — the static fine-growth mode: one compiled
+        program serves every +5 growth stage
+        (``train/vector_field_nerf_train.py:146-147``) by padding the fine
+        axis to ``max_samples`` and masking the tail (pad depths sort
+        beyond ``far``; their σ is zeroed so they carry no rendering
+        weight). The returned ``sample_mask`` marks live samples for the
+        per-sample loss reductions. Live values are bit-equal to the
+        unpadded program when ``perturb=False``; under perturb the jitter
+        stream is shaped (R, n_fine) instead of (R, n_active) — same
+        distribution, different draws (PARITY.md).
     :return: dict with rgb (R, 3), depth (R,), normals (R, S, 3),
         points (R, S, 3), z_vals (R, S), weights (R, S), sample colors
-        (R, S, 3), and optional dir_derivative_norms.
+        (R, S, 3), optional sample_mask (R, S), and optional
+        dir_derivative_norms.
     """
     k_coarse, k_fine = jax.random.split(key)
     n_rays = uv.shape[0]
@@ -336,6 +358,10 @@ def render_rays(modules: VFNerfModules,
 
     directions, ray_dirs, cam_loc = get_ray_directions_and_cam_location(
         uv, pose, intrinsics)
+
+    if n_fine_active is not None:
+        n_fine_active = jnp.asarray(n_fine_active, jnp.int32)
+        n_valid = statics.n_coarse + n_fine_active
 
     fast = (statics.fast_eval and not statics.train and
             not statics.compute_dir_derivatives and
@@ -409,6 +435,13 @@ def render_rays(modules: VFNerfModules,
 
     # ---- fine pass (the trained path) --------------------------------------
     fine_range = modules.cfg.ray_sampler_config.fine_range
+    if n_fine_active is not None:
+        # Static fine-growth mode needs per-point BN semantics (frozen/eval
+        # BN — the production default via the reference's BN quirk): train
+        # -mode BN would fold the pad points into the batch statistics. The
+        # eval-side reuse/pallas variants render with a fixed fine count.
+        assert not statics.train and not reuse and not pallas_march, \
+            "n_fine_active requires the standard frozen-BN render path"
     if reuse:
         if statics.n_fine > 0:
             z_extra = samplers.range_fine_extra_z(
@@ -437,7 +470,7 @@ def render_rays(modules: VFNerfModules,
             z_vals = samplers.range_fine_z_vals(
                 k_fine, z_coarse, weights_coarse, statics.n_fine,
                 fine_range=fine_range, near=near, far=far,
-                perturb=statics.perturb)
+                perturb=statics.perturb, n_active=n_fine_active)
         else:
             z_vals = z_coarse
         points = samplers.points_from_z(cam_loc, directions, z_vals)
@@ -483,7 +516,9 @@ def render_rays(modules: VFNerfModules,
                                      density_params, fine=True)
     else:
         sigma = get_density(normals, dirs_rep, density_params,
-                            window_weights, statics, fine=True)
+                            window_weights, statics, fine=True,
+                            n_valid=n_valid if n_fine_active is not None
+                            else None)
         weights = _weights_from_density(z_vals, sigma, statics)
         rgb, depth = compositing.composite_rgb_depth(
             weights, rgb_samples, z_vals,
@@ -498,6 +533,10 @@ def render_rays(modules: VFNerfModules,
         "weights": weights,
         "sample_colors": rgb_samples,
     }
+    if n_fine_active is not None:
+        out["sample_mask"] = (jnp.arange(n_samples)[None, :]
+                              < n_valid).astype(jnp.float32) \
+            * jnp.ones((n_rays, 1), jnp.float32)
     if not fast and statics.train and bn_updates:
         out["batch_stats_updates"] = bn_updates
 

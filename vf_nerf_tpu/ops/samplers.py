@@ -51,6 +51,37 @@ def _stratify(key: jax.Array, z_vals: jnp.ndarray) -> jnp.ndarray:
     return lower + (upper - lower) * t
 
 
+def _column_uniform(key: jax.Array, n_rays: int, n_cols: int,
+                    dtype) -> jnp.ndarray:
+    """(R, C) uniforms whose column streams are keyed by
+    ``fold_in(key, col)`` — independent of the static column count, so a
+    wider array's first k columns equal a width-k array's columns (the
+    static fine-growth equality contract)."""
+    keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+        jnp.arange(n_cols))
+    return jax.vmap(lambda k: jax.random.uniform(k, (n_rays,),
+                                                 dtype=dtype))(keys).T
+
+
+def _stratify_fine(key: jax.Array, z_vals: jnp.ndarray,
+                   n_active=None) -> jnp.ndarray:
+    """Mid-point-interval jitter for the fine window with column-keyed
+    draws (same semantics as :func:`_stratify`; same distribution,
+    column-stable stream). With ``n_active`` the last LIVE column gets the
+    dynamic array's boundary bounds (its own value as the upper bound, as
+    if the array ended there), so live columns are bit-equal to a
+    width-``n_active`` stratify."""
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+    if n_active is not None:
+        col = jnp.arange(z_vals.shape[-1])[None, :]
+        upper = jnp.where(col == n_active - 1, z_vals, upper)
+    t = _column_uniform(key, z_vals.shape[0], z_vals.shape[-1],
+                        z_vals.dtype)
+    return lower + (upper - lower) * t
+
+
 def uniform_z_vals(key: jax.Array,
                    n_rays: int,
                    n_samples: int,
@@ -80,12 +111,25 @@ def range_fine_extra_z(key: jax.Array,
                        fine_range: float,
                        near: float,
                        far: float,
-                       perturb: bool = True) -> jnp.ndarray:
+                       perturb: bool = True,
+                       n_active: Union[jnp.ndarray, None] = None
+                       ) -> jnp.ndarray:
     """The *new* depths the range-fine sampler adds per ray (unsorted):
     n_fine stratified depths in ``±fine_range`` around the coarse-weight
     argmax when the argmax is > 0, else n_fine uniform-random depths over
     [near, far] (reference ``RangeFineSampler.get_z_vals``,
-    ``ray_sampler.py:276-300``)."""
+    ``ray_sampler.py:276-300``).
+
+    ``n_active`` (optional traced scalar ≤ n_fine) enables the static
+    fine-growth mode: the array stays at the static ``n_fine`` width but
+    only the first ``n_active`` depths are live — columns ≥ ``n_active``
+    are pinned to ``far`` so they sort to the ray tail, where the renderer
+    masks them to zero density (one compiled program serves every +5
+    growth stage instead of one re-jit per stage). The live columns carry
+    the same *values* a dynamic ``n_fine=n_active`` draw would produce for
+    the deterministic (perturb=False) path; under perturb the jitter/random
+    draws come from a (R, n_fine)-shaped stream instead of (R, n_active) —
+    same distribution, different stream (documented in PARITY.md)."""
     k_strat, k_rand = jax.random.split(key)
     dtype = coarse_z_vals.dtype
     n_rays = coarse_z_vals.shape[0]
@@ -94,18 +138,35 @@ def range_fine_extra_z(key: jax.Array,
     max_z = jnp.take_along_axis(coarse_z_vals, max_idx[:, None], axis=-1)
 
     # Evenly spaced window around the argmax depth (ray_sampler.py:284).
-    offsets = (2.0 * fine_range / (n_fine - 1)) * jnp.arange(n_fine,
-                                                             dtype=dtype)
+    # With n_active, the spacing uses the LIVE count so live columns match
+    # the dynamic draw exactly.
+    denom = (jnp.maximum(n_active - 1, 1).astype(dtype)
+             if n_active is not None else jnp.asarray(n_fine - 1, dtype))
+    offsets = (2.0 * fine_range / denom) * jnp.arange(n_fine, dtype=dtype)
     z_window = max_z - fine_range + offsets[None, :]
     if perturb:
-        z_window = _stratify(k_strat, z_window)
+        z_window = _stratify_fine(k_strat, z_window, n_active)
 
     # Uniform-random extras over the full ray extent (ray_sampler.py:297).
-    z_random = jax.random.uniform(k_rand, (n_rays, n_fine), dtype=dtype) \
+    # Column-keyed draws (fold_in(key, column)) so the per-column streams do
+    # not depend on the static width — a width-n_fine draw's first k columns
+    # equal a width-k draw's columns, which makes the static fine-growth
+    # mode bit-equal to the per-stage dynamic program on EVERY ray
+    # (including the argmax-0 random-extras quirk rays). Same distribution
+    # as one (R, n_fine) block draw.
+    z_random = _column_uniform(k_rand, n_rays, n_fine, dtype) \
         * (far - near) + near
 
     use_window = (max_idx > 0)[:, None]
-    return jnp.where(use_window, z_window, z_random)
+    z_extra = jnp.where(use_window, z_window, z_random)
+    if n_active is not None:
+        # Pad depth strictly beyond any live sample (the argmax window is
+        # unclipped, so live fine depths can reach far + fine_range): pads
+        # always sort to the ray tail, where the renderer masks σ to 0.
+        pad_z = jnp.asarray(far + 2.0 * fine_range + 1.0, dtype)
+        pad = jnp.arange(n_fine)[None, :] >= n_active
+        z_extra = jnp.where(pad, pad_z, z_extra)
+    return z_extra
 
 
 def range_fine_z_vals(key: jax.Array,
@@ -115,17 +176,22 @@ def range_fine_z_vals(key: jax.Array,
                       fine_range: float,
                       near: float,
                       far: float,
-                      perturb: bool = True) -> jnp.ndarray:
+                      perturb: bool = True,
+                      n_active: Union[jnp.ndarray, None] = None
+                      ) -> jnp.ndarray:
     """Argmax-window fine sampling (reference ``RangeFineSampler.get_z_vals``,
     ``ray_sampler.py:264-301``).
 
     Returns (R, S_coarse + n_fine) sorted depths: the coarse depths plus the
     per-ray extras from ``range_fine_extra_z``. The either/or select replaces
     the reference's two sorts + boolean row assignment with one masked
-    sort — same result, static shapes.
+    sort — same result, static shapes. With ``n_active`` (static fine-growth
+    mode) the trailing ``n_fine - n_active`` sorted positions are
+    beyond-``far`` pad depths.
     """
     z_extra = range_fine_extra_z(key, coarse_z_vals, coarse_weights, n_fine,
-                                 fine_range, near, far, perturb)
+                                 fine_range, near, far, perturb,
+                                 n_active=n_active)
     return jnp.sort(jnp.concatenate([coarse_z_vals, z_extra], axis=-1),
                     axis=-1)
 

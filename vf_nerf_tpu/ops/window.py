@@ -40,7 +40,8 @@ def cosine_similarity(x: jnp.ndarray, y: jnp.ndarray,
 
 def window_cosine_similarity(x: jnp.ndarray,
                              y: jnp.ndarray,
-                             weights: jnp.ndarray) -> jnp.ndarray:
+                             weights: jnp.ndarray,
+                             n_valid=None) -> jnp.ndarray:
     """Symmetric windowed cosine similarity.
 
     :param x: (R, L, 3) field at samples ``0..L-1`` (callers pass
@@ -49,6 +50,15 @@ def window_cosine_similarity(x: jnp.ndarray,
         ``normals[:, 1:]``).
     :param weights: (W,) window tap weights (may be a traced array — the
         annealing schedule updates them every epoch without retracing).
+    :param n_valid: optional traced scalar — the number of valid *samples*
+        when the ray tail is padding (static fine-growth mode). The
+        reference windows only positions ``[start, L_valid - start)`` of the
+        (L_valid = n_valid - 1)-length cosine array, so positions that are
+        interior in the padded array but boundary in the live array are
+        reset to the raw consecutive cosine — making the live prefix
+        bit-equal to the unpadded computation (no live window tap ever
+        reads a padded sample: taps reach at most ``start - 2`` ahead of an
+        interior position).
     :return: (R, L) windowed cosine similarities.
     """
     n_taps = weights.shape[0]
@@ -71,7 +81,15 @@ def window_cosine_similarity(x: jnp.ndarray,
         bwd = cosine_similarity(x_mid, y[:, start - i - 1:hi - i - 1])
         acc = acc + fwd * jnp.abs(weights[middle + i]) / normalizer \
                   + bwd * jnp.abs(weights[middle - i]) / normalizer
-    return cs.at[:, start:hi].set(acc)
+    out = cs.at[:, start:hi].set(acc)
+    if n_valid is not None:
+        # Dynamic interior bound of the LIVE array: positions
+        # >= (n_valid - 1) - start keep the raw cosine, exactly as they
+        # would in an unpadded length-(n_valid - 1) computation.
+        hi_live = n_valid - 1 - start
+        idx = jnp.arange(length)[None, :]
+        out = jnp.where(idx < hi_live, out, cs)
+    return out
 
 
 def forward_window_cosine_similarity(x: jnp.ndarray,

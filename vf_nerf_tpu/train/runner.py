@@ -43,7 +43,60 @@ from vf_nerf_tpu.utils import io as io_utils
 from vf_nerf_tpu.utils.logging import MetricsLogger
 from vf_nerf_tpu.utils.profiling import StepTimer, maybe_enable_nan_debugging
 
-SEED = 42  # reference utils/utils.py:157-167
+# Reference pins seed 42 (utils/utils.py:157-167). VFNERF_SEED is a
+# measurement hook for run-to-run variance studies (tools/
+# convergence_variance.py) — production runs never set it.
+SEED = int(os.environ.get("VFNERF_SEED", "42"))
+
+
+class _EpochAssembler:
+    """One-epoch-ahead host batch assembly for scan dispatch (closes the
+    short-epoch throughput gap): ``sample_new_images`` + batch assembly +
+    packing + chunk stacking run in a worker thread, overlapping the
+    previous epoch's in-flight device scan instead of serializing with it.
+
+    Determinism: the worker is the ONLY consumer of the dataset and of
+    ``_epoch_rng`` in scan mode, and processes epochs strictly in order —
+    the RNG draw sequence is identical to the inline path. The queue is
+    depth-1, so at most one epoch of packed batches (a few MB) is staged
+    ahead."""
+
+    def __init__(self, runner: "VectorFieldNerfRunner", epochs,
+                 depth: int = 1, compact: bool = False) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._runner = runner
+        self._epochs = list(epochs)
+        self._compact = compact
+        self._exc: BaseException | None = None
+        threading.Thread(target=self._work, daemon=True).start()
+
+    def _work(self) -> None:
+        from vf_nerf_tpu.parallel.train_step import (pack_batch,
+                                                     pack_batch_compact)
+        pack = pack_batch_compact if self._compact else pack_batch
+        try:
+            r = self._runner
+            n = r._batch_rays()
+            for epoch in self._epochs:
+                r.dataset.sample_new_images()
+                packs = [pack({k: v[:n] for k, v in b.items()
+                               if v.size > 0})
+                         for b in r.dataset.epoch_batches(r._epoch_rng)]
+                self._q.put((epoch, np.stack(packs)))
+        except BaseException as exc:  # noqa: BLE001 — re-raised in get()
+            self._exc = exc
+            self._q.put((None, None))
+
+    def get(self, epoch: int) -> np.ndarray:
+        """The epoch's whole (K_e, R, 38) packed stack (callers chunk it)."""
+        got, stacked = self._q.get()
+        if got is None:
+            raise self._exc
+        assert got == epoch, (got, epoch)
+        return stacked
 
 
 class VectorFieldNerfRunner:
@@ -187,16 +240,43 @@ class VectorFieldNerfRunner:
                   "pretrain them.")
 
     # ---------------------------------------------------------------- step
-    def _get_step(self):
-        """Jitted train step cached per static (fine-count, supervision)
-        configuration."""
+    def _static_fine(self) -> bool:
+        """Static fine-growth mode: ONE compiled program (fine axis padded
+        to max_samples, tail masked) serves every +5 growth stage instead of
+        one re-jit per stage (device_config.static_fine_growth)."""
+        rs = self.config.vf_nerf_config.ray_sampler_config
+        # Needs frozen-BN (eval-mode) steps — the production default; the
+        # dir-derivatives config trains BN on batch stats, where pad points
+        # would pollute the statistics.
+        return (self.config.vf_nerf_config.device_config.static_fine_growth
+                and rs.fine_sampling() and not self.train_dir_derivatives)
+
+    def _step_statics(self):
+        """(RenderStatics, SupervisionStatics) for the current fine count —
+        or for the padded max count in static fine-growth mode."""
+        n_fine = self.config.vf_nerf_config.ray_sampler_config.max_samples \
+            if self._static_fine() else None
         statics = self.model.render_statics(
-            compute_dir_derivatives=self.train_dir_derivatives)
+            compute_dir_derivatives=self.train_dir_derivatives,
+            n_fine=n_fine)
         n_rays = self._batch_rays()
         sup = SupervisionStatics.from_config(
             self.config.vf_nerf_config, self.init_method, n_rays=n_rays,
             n_samples=statics.n_coarse + statics.n_fine,
             border_radius=self.config.dataset_config.border_radius)
+        return statics, sup
+
+    def _fine_active_arg(self) -> dict:
+        """Extra step kwargs: the traced live fine count in static mode."""
+        if not self._static_fine():
+            return {}
+        return {"n_fine_active": jnp.asarray(self.model.fine_n_samples,
+                                             jnp.int32)}
+
+    def _get_step(self):
+        """Jitted train step cached per static (fine-count, supervision)
+        configuration."""
+        statics, sup = self._step_statics()
         key = (statics, sup)
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
@@ -207,13 +287,7 @@ class VectorFieldNerfRunner:
     def _get_scan_step(self):
         """Jitted K-steps-per-dispatch scan step (same cache policy)."""
         from vf_nerf_tpu.parallel.train_step import make_scan_train_step
-        statics = self.model.render_statics(
-            compute_dir_derivatives=self.train_dir_derivatives)
-        n_rays = self._batch_rays()
-        sup = SupervisionStatics.from_config(
-            self.config.vf_nerf_config, self.init_method, n_rays=n_rays,
-            n_samples=statics.n_coarse + statics.n_fine,
-            border_radius=self.config.dataset_config.border_radius)
+        statics, sup = self._step_statics()
         key = (statics, sup, "scan")
         if key not in self._step_cache:
             self._step_cache[key] = make_scan_train_step(
@@ -270,10 +344,23 @@ class VectorFieldNerfRunner:
     def train(self) -> None:
         """Reference ``train`` (``:136-159``)."""
         cfg = self.config
-        rs = cfg.vf_nerf_config.ray_sampler_config
         if self.mesh is not None:
             self.model.state = mesh_lib.replicate_state(self.mesh,
                                                         self.model.state)
+        spd = cfg.vf_nerf_config.device_config.steps_per_dispatch
+        if spd != 1:
+            self._train_span(spd)
+        else:
+            self._train_per_step()
+        cfg.start_epoch = cfg.num_epochs + 1
+        self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
+
+    def _train_per_step(self) -> None:
+        """One dispatch per step (steps_per_dispatch=1) with the prefetch
+        worker — the r1 architecture, kept as the non-scan reference
+        path."""
+        cfg = self.config
+        rs = cfg.vf_nerf_config.ray_sampler_config
         try:
             for epoch in range(cfg.start_epoch, cfg.num_epochs):
                 self.dataset.sample_new_images()
@@ -291,10 +378,212 @@ class VectorFieldNerfRunner:
             final = self._resolve_pending_log()
             if final is not None:
                 print(f"Epoch {final[0]}: Loss {final[1]}")
-        cfg.start_epoch = cfg.num_epochs + 1
-        self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
 
-    def train_epoch(self, epoch: int):
+    # --------------------------------------------------- span dispatching
+    def _use_compact(self) -> bool:
+        """Compact (R, 7) ray packing + device pose table (5.4× less relay
+        traffic): mixed-view batches only (they carry ``view_idx``; pose/
+        intrinsics are per-view constants), and not ``far_per_ray`` (the
+        per-ray far column is not packed)."""
+        return (self.config.dataset_config.shuffle_views and
+                not self.config.dataset_config.far_per_ray)
+
+    def _get_span_step(self):
+        """Jitted epoch-spanning scan step for the CURRENT statics."""
+        from vf_nerf_tpu.parallel.train_step import make_span_scan_step
+        statics, sup = self._step_statics()
+        key = (statics, sup, "span", self._use_compact())
+        if key not in self._step_cache:
+            self._step_cache[key] = make_span_scan_step(
+                self.model.modules, self.model.optimizer, statics, sup,
+                self.config.vf_loss_weights, self.config.vf_loss_config,
+                masked_fine=self._static_fine(),
+                compact=self._use_compact())
+        return self._step_cache[key]
+
+    def _train_span(self, spd: int) -> None:
+        """Scan-dispatch training with **epoch-spanning** dispatches.
+
+        The single-epoch scan path pays one host↔relay round-trip
+        (~60-100 ms) per epoch — ~30% of an 8-step epoch (measured 38.6k
+        vs ~55k rays/s pure-compute). Here the per-step
+        (epoch, window, fine-count, base-key) metadata ride the scan, so a
+        dispatch covers exactly ``spd`` steps regardless of epoch
+        boundaries; dispatch boundaries are forced only where semantics
+        require the host (a checkpoint save, or — without
+        ``static_fine_growth`` — a fine-count re-jit). Per-step metrics
+        come back stacked; epochs are logged (identical values) once all
+        their rows are fetched, one dispatch deferred, as before.
+
+        Bit-equality with the per-epoch paths is preserved: one
+        ``_next_key()`` per epoch in the same order, per-step PRNG folds
+        ``state.step``, same optimizer sequence
+        (``tests/test_e2e.py::test_span_dispatch_equals_per_step``)."""
+        cfg = self.config
+        rs = cfg.vf_nerf_config.ray_sampler_config
+        steps_per_epoch = max(len(self.dataset), 1)
+        chunk = spd if spd > 0 else steps_per_epoch
+        compact = self._use_compact()
+        assembler = _EpochAssembler(
+            self, range(cfg.start_epoch, cfg.num_epochs), depth=2,
+            compact=compact)
+        near = jnp.float32(self.model.near)
+        far = jnp.float32(self.model.far)
+        centroid = jnp.asarray(self.dataset.get_centroid())
+        # Per-view tables ride to the device ONCE; each dispatch gathers
+        # per-ray poses on device from the (R, 7) compact batch.
+        pose_table = intr_table = None
+        if compact:
+            pose_table = jnp.asarray(np.asarray(self.dataset.poses,
+                                                np.float32))
+            intr_table = jnp.asarray(np.asarray(self.dataset.intrinsics,
+                                                np.float32))
+            if self.mesh is not None:
+                pose_table = mesh_lib.replicate_state(self.mesh, pose_table)
+                intr_table = mesh_lib.replicate_state(self.mesh, intr_table)
+        n_rays = self._batch_rays()
+        host_step = int(jax.device_get(self.model.state.step))
+
+        # Per-epoch base keys, precomputed as HOST arrays: the packed aux
+        # transfer needs key bytes on host, and fetching the device-resident
+        # _next_key() per epoch would cost a relay round-trip each. The
+        # split chain runs on the CPU backend (threefry is backend-
+        # deterministic — identical values to _next_key()), and the model's
+        # RNG carrier advances past the consumed keys so any later
+        # _next_key() continues the same chain.
+        cpu = jax.devices("cpu")[0]
+        rng = jax.device_put(jax.device_get(self.model._rng), cpu)
+        epoch_keys: Dict[int, np.ndarray] = {}
+        for e in range(cfg.start_epoch, cfg.num_epochs):
+            rng, k = jax.random.split(rng)
+            epoch_keys[e] = np.asarray(k)
+        self.model._rng = jnp.asarray(np.asarray(rng))
+
+        # Per-epoch accumulation of fetched metric rows (an epoch may span
+        # dispatches and a dispatch may span epochs).
+        self._span_accum: Dict[int, Dict[str, Any]] = {}
+        self._span_pending = []   # dispatched, not yet fetched
+
+        buf: list = []            # step records awaiting dispatch
+
+        def record_epoch(epoch: int) -> None:
+            """Host-side per-epoch sequencing (same order as the per-epoch
+            loop): fine growth, annealing window, one base key."""
+            if rs.fine_sampling() and epoch % rs.increase_every == 0:
+                self.model.fine_n_samples = min(
+                    self.model.fine_n_samples + 5, rs.max_samples)
+            window = self.model.update_annealing(epoch)
+            stacked = assembler.get(epoch)
+            base_key = epoch_keys[epoch]
+            self._span_accum[epoch] = {
+                "window": window, "rows": [], "elapsed": 0.0,
+                "expected": stacked.shape[0]}
+            for s in range(stacked.shape[0]):
+                buf.append((stacked[s], epoch, window,
+                            self.model.fine_n_samples, base_key))
+
+        def dispatch(n_steps: int) -> None:
+            nonlocal host_step
+            take, rest = buf[:n_steps], buf[n_steps:]
+            buf[:] = rest
+            t0 = time.perf_counter()
+            from vf_nerf_tpu.parallel.train_step import pack_span_aux
+            blocks = np.stack([t[0] for t in take])
+            # ONE packed metadata transfer (each separate small array costs
+            # a relay round-trip per dispatch).
+            aux = pack_span_aux([t[1] for t in take],
+                                [t[3] for t in take],
+                                np.stack([np.asarray(t[4]) for t in take]),
+                                np.stack([np.asarray(t[2], np.float32)
+                                          for t in take]))
+            span_step = self._get_span_step()
+            fed = self._feed_stack(blocks)
+            if compact:
+                state, metrics = span_step(self.model.state, fed, aux,
+                                           near, far, centroid,
+                                           pose_table, intr_table)
+            else:
+                state, metrics = span_step(self.model.state, fed, aux,
+                                           near, far, centroid)
+            self.model.state = state
+            t1 = time.perf_counter()
+            self._span_pending.append({
+                "metrics": metrics,
+                "epochs": [t[1] for t in take],
+                "elapsed": t1 - t0,
+                "step_base": host_step,
+            })
+            host_step += len(take)
+            # Fetch the PREVIOUS dispatch (its device work overlapped this
+            # dispatch's host prep) — one-deep pipeline, as before.
+            while len(self._span_pending) > 1:
+                self._fetch_span_dispatch(self._span_pending.pop(0),
+                                          n_rays)
+
+        try:
+            for epoch in range(cfg.start_epoch, cfg.num_epochs):
+                # Without static_fine_growth a fine-count bump changes the
+                # compiled statics — flush the buffered steps under the OLD
+                # statics before recording the new epoch.
+                bump = (rs.fine_sampling()
+                        and epoch % rs.increase_every == 0
+                        and self.model.fine_n_samples < rs.max_samples)
+                if bump and not self._static_fine() and buf:
+                    dispatch(len(buf))
+                record_epoch(epoch)
+                is_save = epoch % cfg.save_frequency == 0
+                # Drain full chunks; force a flush at save boundaries so
+                # the checkpoint captures the exact epoch-end state.
+                while len(buf) >= chunk:
+                    dispatch(chunk)
+                if is_save:
+                    if buf:
+                        dispatch(len(buf))
+                    self.model.save(epoch, self.ckpt_dir)
+            if buf:
+                dispatch(len(buf))
+        finally:
+            # Drain every in-flight dispatch so all epochs get logged even
+            # on crash/interrupt (per-step path's try/finally analogue).
+            while self._span_pending:
+                self._fetch_span_dispatch(self._span_pending.pop(0),
+                                          n_rays)
+
+    def _fetch_span_dispatch(self, pending: Dict[str, Any],
+                             n_rays: int) -> None:
+        """Fetch one dispatch's stacked per-step metrics and fold them into
+        the per-epoch accumulators; log every epoch that completed."""
+        from vf_nerf_tpu.parallel.train_step import (METRIC_KEYS,
+                                                     SPAN_METRIC_KEYS)
+        rows = np.asarray(jax.device_get(pending["metrics"]))
+        share = pending["elapsed"] / max(len(pending["epochs"]), 1)
+        step_end: Dict[int, int] = {}
+        for i, e in enumerate(pending["epochs"]):
+            acc = self._span_accum[e]
+            acc["rows"].append(rows[i])
+            acc["elapsed"] += share
+            step_end[e] = pending["step_base"] + i + 1
+        for e in sorted(set(pending["epochs"])):
+            acc = self._span_accum[e]
+            if len(acc["rows"]) < acc["expected"]:
+                continue
+            block = np.stack(acc["rows"])
+            avg = {k: float(block[:, i].mean())
+                   for i, k in enumerate(METRIC_KEYS)}
+            # Density scalars: the epoch's LAST step (per-epoch-path value).
+            for j, k in enumerate(SPAN_METRIC_KEYS[len(METRIC_KEYS):]):
+                avg[k] = float(block[-1, len(METRIC_KEYS) + j])
+            avg["learning_rate"] = float(
+                self.model.lr_schedule(step_end[e]))
+            avg.update({f"w_{i}": float(w)
+                        for i, w in enumerate(acc["window"])})
+            avg["rays_per_sec"] = (acc["expected"] * n_rays /
+                                   max(acc["elapsed"], 1e-9))
+            self.logger.log(avg, step=e)
+            print(f"Epoch {e}: Loss {avg.get('loss')}")
+            del self._span_accum[e]
+
+    def train_epoch(self, epoch: int, assembler=None):
         """Reference ``train_epoch`` (``:161-292``) — one mixed-view ray
         batch per dataset item, loss averaging, end-of-epoch logging
         (deferred one epoch; returns the RESOLVED (epoch, loss) or None)."""
@@ -322,24 +611,34 @@ class VectorFieldNerfRunner:
             # K steps per dispatch: pack the epoch's batches into one
             # (K, R, 38) tensor and lax.scan the step on device — the
             # per-dispatch relay latency amortizes to 1/K (bit-identical
-            # to per-step dispatch, tests/test_train_step.py).
-            from vf_nerf_tpu.parallel.train_step import pack_batch
+            # to per-step dispatch, tests/test_train_step.py). The blocks
+            # were assembled one epoch ahead by the worker thread
+            # (overlapped with the previous epoch's in-flight scan); the
+            # inline fallback covers direct train_epoch() calls.
             scan_step = self._get_scan_step()
-            n = self._batch_rays()
-            packs = [pack_batch({k: v[:n] for k, v in b.items()
-                                 if v.size > 0})
-                     for b in self.dataset.epoch_batches(self._epoch_rng)]
-            chunk = len(packs) if spd <= 0 else spd
+            if assembler is not None:
+                stacked = assembler.get(epoch)
+            else:
+                from vf_nerf_tpu.parallel.train_step import pack_batch
+                n = self._batch_rays()
+                packs = [pack_batch({k: v[:n] for k, v in b.items()
+                                     if v.size > 0})
+                         for b in self.dataset.epoch_batches(
+                             self._epoch_rng)]
+                stacked = np.stack(packs)
+            chunk = stacked.shape[0] if spd <= 0 else spd
+            blocks = [stacked[s:s + chunk]
+                      for s in range(0, stacked.shape[0], chunk)]
             self._timer.tick()
-            for start in range(0, len(packs), chunk):
-                block = packs[start:start + chunk]
-                fed = self._feed_stack(np.stack(block))
+            for block in blocks:
+                fed = self._feed_stack(block)
                 state, sums = scan_step(self.model.state, sums, fed,
                                         base_key, epoch_j,
                                         window_weights=window_j, near=near,
-                                        far=far, centroid=centroid)
+                                        far=far, centroid=centroid,
+                                        **self._fine_active_arg())
                 self.model.state = state
-                count += len(block)
+                count += block.shape[0]
                 self._timer.tick()
             dispatch_t1 = time.perf_counter()
         else:
@@ -352,7 +651,8 @@ class VectorFieldNerfRunner:
                 self._timer.tick()
                 state, sums = step(self.model.state, sums, fed, base_key,
                                    epoch_j, window_weights=window_j,
-                                   near=near, far=far, centroid=centroid)
+                                   near=near, far=far, centroid=centroid,
+                                   **self._fine_active_arg())
                 self.model.state = state
                 count += 1
             self._timer.tick()
