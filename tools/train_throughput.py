@@ -37,6 +37,11 @@ def main() -> None:
                              "program across growth stages)")
     parser.add_argument("--spd", type=int, default=0,
                         help="override steps_per_dispatch")
+    parser.add_argument("--pure", action="store_true",
+                        help="time the span step on DEVICE-RESIDENT inputs "
+                             "(no host assembly/transfer per dispatch) — "
+                             "isolates the compiled graph's execution rate "
+                             "from the host pipeline")
     args = parser.parse_args()
 
     from vf_nerf_tpu.config.parser import parse_config
@@ -77,6 +82,69 @@ def main() -> None:
     runner = VectorFieldNerfRunner(config)
     n_rays = runner._batch_rays()
     steps_per_epoch = len(runner.dataset)
+
+    if args.pure:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vf_nerf_tpu.parallel.train_step import (pack_batch,
+                                                     pack_batch_compact,
+                                                     pack_span_aux)
+        spd = config.vf_nerf_config.device_config.steps_per_dispatch or 64
+        rs = config.vf_nerf_config.ray_sampler_config
+        if rs.fine_sampling():  # steady-state fine count after epoch 0
+            runner.model.fine_n_samples = min(
+                runner.model.fine_n_samples + 5, rs.max_samples)
+        window = runner.model.update_annealing(2)
+        compact = runner._use_compact()
+        pack = pack_batch_compact if compact else pack_batch
+        runner.dataset.sample_new_images()
+        batches = list(runner.dataset.epoch_batches(runner._epoch_rng))
+        packs = [pack({k: v[:n_rays] for k, v in
+                       batches[i % len(batches)].items() if v.size > 0})
+                 for i in range(spd)]
+        fed = runner._feed_stack(np.stack(packs))
+        key = np.asarray(jax.random.PRNGKey(7))
+        aux = jnp.asarray(pack_span_aux(
+            [2] * spd, [runner.model.fine_n_samples] * spd,
+            np.stack([key] * spd),
+            np.stack([np.asarray(window, np.float32)] * spd)))
+        near, far = jnp.float32(runner.model.near), \
+            jnp.float32(runner.model.far)
+        centroid = jnp.asarray(runner.dataset.get_centroid())
+        tables = ()
+        if compact:
+            tables = (jnp.asarray(np.asarray(runner.dataset.poses,
+                                             np.float32)),
+                      jnp.asarray(np.asarray(runner.dataset.intrinsics,
+                                             np.float32)))
+        span_step = runner._get_span_step()
+        state = runner.model.state
+        print(f"== warmup (2 x {spd}-step span dispatches, device-resident "
+              "inputs) ==", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            state, metrics = span_step(state, fed, aux, near, far,
+                                       centroid, *tables)
+        int(jax.device_get(state.step))
+        print(f"warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+        reps = max(1, (args.epochs * steps_per_epoch) // spd)
+        print(f"== timing {reps} x {spd}-step dispatches ==", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, metrics = span_step(state, fed, aux, near, far,
+                                       centroid, *tables)
+        int(jax.device_get(state.step))
+        elapsed = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "pure span-step rays/sec (device-resident inputs)",
+            "value": round(reps * spd * n_rays / elapsed, 1),
+            "unit": "rays/sec",
+            "per_step_ms": round(elapsed / (reps * spd) * 1e3, 2),
+            "n_rays": n_rays,
+        }), flush=True)
+        return
 
     if args.span:
         import jax

@@ -466,6 +466,10 @@ class VectorFieldNerfRunner:
 
         buf: list = []            # step records awaiting dispatch
 
+        profile = os.environ.get("VFNERF_SPAN_PROFILE") == "1"
+        prof = {"assembler": 0.0, "prep": 0.0, "enqueue": 0.0,
+                "fetch": 0.0} if profile else None
+
         def record_epoch(epoch: int) -> None:
             """Host-side per-epoch sequencing (same order as the per-epoch
             loop): fine growth, annealing window, one base key."""
@@ -473,7 +477,11 @@ class VectorFieldNerfRunner:
                 self.model.fine_n_samples = min(
                     self.model.fine_n_samples + 5, rs.max_samples)
             window = self.model.update_annealing(epoch)
+            if profile:
+                ta = time.perf_counter()
             stacked = assembler.get(epoch)
+            if profile:
+                prof["assembler"] += time.perf_counter() - ta
             base_key = epoch_keys[epoch]
             self._span_accum[epoch] = {
                 "window": window, "rows": [], "elapsed": 0.0,
@@ -498,6 +506,9 @@ class VectorFieldNerfRunner:
                                           for t in take]))
             span_step = self._get_span_step()
             fed = self._feed_stack(blocks)
+            if profile:
+                tp = time.perf_counter()
+                prof["prep"] += tp - t0
             if compact:
                 state, metrics = span_step(self.model.state, fed, aux,
                                            near, far, centroid,
@@ -507,6 +518,8 @@ class VectorFieldNerfRunner:
                                            near, far, centroid)
             self.model.state = state
             t1 = time.perf_counter()
+            if profile:
+                prof["enqueue"] += t1 - tp
             self._span_pending.append({
                 "metrics": metrics,
                 "epochs": [t[1] for t in take],
@@ -516,9 +529,13 @@ class VectorFieldNerfRunner:
             host_step += len(take)
             # Fetch the PREVIOUS dispatch (its device work overlapped this
             # dispatch's host prep) — one-deep pipeline, as before.
+            if profile:
+                tf = time.perf_counter()
             while len(self._span_pending) > 1:
                 self._fetch_span_dispatch(self._span_pending.pop(0),
                                           n_rays)
+            if profile:
+                prof["fetch"] += time.perf_counter() - tf
 
         try:
             for epoch in range(cfg.start_epoch, cfg.num_epochs):
@@ -548,6 +565,9 @@ class VectorFieldNerfRunner:
             while self._span_pending:
                 self._fetch_span_dispatch(self._span_pending.pop(0),
                                           n_rays)
+            if profile:
+                print("span profile (s): " + "  ".join(
+                    f"{k}={v:.2f}" for k, v in prof.items()), flush=True)
 
     def _fetch_span_dispatch(self, pending: Dict[str, Any],
                              n_rays: int) -> None:
@@ -573,8 +593,7 @@ class VectorFieldNerfRunner:
             # Density scalars: the epoch's LAST step (per-epoch-path value).
             for j, k in enumerate(SPAN_METRIC_KEYS[len(METRIC_KEYS):]):
                 avg[k] = float(block[-1, len(METRIC_KEYS) + j])
-            avg["learning_rate"] = float(
-                self.model.lr_schedule(step_end[e]))
+            avg["learning_rate"] = self.model.host_lr(step_end[e])
             avg.update({f"w_{i}": float(w)
                         for i, w in enumerate(acc["window"])})
             avg["rays_per_sec"] = (acc["expected"] * n_rays /
@@ -694,8 +713,7 @@ class VectorFieldNerfRunner:
         count = pending["count"]
         averages = {k: float(v) / count for k, v in host_sums.items()}
         averages.update({k: float(v) for k, v in dens.items()})
-        averages["learning_rate"] = float(
-            self.model.lr_schedule(int(step_now)))
+        averages["learning_rate"] = self.model.host_lr(int(step_now))
         averages.update({f"w_{i}": float(w)
                          for i, w in enumerate(pending["window"])})
         if pending["per_step_timer"]:
