@@ -278,3 +278,40 @@ class TestAnnealFine:
                                np.asarray(coarse))
         np.testing.assert_allclose(np.asarray(fine_uniform),
                                    np.asarray(coarse), rtol=1e-6)
+
+
+class TestComputeDtype:
+    """bfloat16 compute path (DeviceConfig.compute_dtype): same params, same
+    pipeline, MLP matmuls in bf16 — outputs must stay float32 and track the
+    f32 render within bf16 tolerance (no reference counterpart; TPU serving
+    mode)."""
+
+    def test_bf16_render_close_to_f32(self, setup):
+        cfg, modules, variables, ds, batch = setup
+        bf16_modules = VFNerfModules(cfg, compute_dtype="bfloat16")
+        out32 = _render(cfg, modules, variables, batch, ds, n_fine=6,
+                        perturb=False)
+        out16 = _render(cfg, bf16_modules, variables, batch, ds, n_fine=6,
+                        perturb=False)
+        assert out16["rgb"].dtype == jnp.float32
+        assert out16["depth"].dtype == jnp.float32
+        # bf16 has ~3 decimal digits; through 3+2 layers the error grows but
+        # rgb lives in [0,1] — a few 1e-2 absolute is the expected envelope.
+        np.testing.assert_allclose(np.asarray(out16["rgb"]),
+                                   np.asarray(out32["rgb"]), atol=4e-2)
+        np.testing.assert_allclose(np.asarray(out16["depth"]),
+                                   np.asarray(out32["depth"]), atol=0.1)
+
+    def test_facade_plumbs_compute_dtype(self):
+        import dataclasses as dc
+
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+
+        cfg = tiny_config()
+        cfg = dc.replace(cfg, device_config=dc.replace(
+            cfg.device_config, compute_dtype="bfloat16"))
+        model = VectorFieldNerf(cfg, seed=0)
+        assert model.modules.compute_dtype == jnp.bfloat16
+        # params stay float32 (mixed precision, not a cast model).
+        leaves = jax.tree_util.tree_leaves(model.state.params)
+        assert all(x.dtype == jnp.float32 for x in leaves)

@@ -116,6 +116,12 @@ class DeviceConfig:
     # streams are shaped by the static width — same distribution,
     # different draws (PARITY.md).
     static_fine_growth: bool = False
+    # MLP matmul/activation compute precision ("float32" | "bfloat16").
+    # Params stay float32 either way (flax mixed precision). bfloat16 is
+    # the TPU-native serving precision: MXU-rate matmuls + half the HBM
+    # activation traffic. Default float32 keeps bit-level parity with the
+    # reference; see PARITY.md for the measured speed/quality trade.
+    compute_dtype: str = "float32"
 
 
 @dataclass

@@ -171,7 +171,8 @@ class VectorFieldNerf:
     def __init__(self, config: VFNerfConfig, seed: int = 42,
                  decay_steps: Optional[int] = None) -> None:
         self.config = config
-        self.modules = VFNerfModules(config)
+        self.modules = VFNerfModules(
+            config, compute_dtype=config.device_config.compute_dtype)
         self._rng = jax.random.PRNGKey(seed)
 
         key = self._next_key()
