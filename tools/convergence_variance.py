@@ -119,7 +119,10 @@ def edge_breakdown(workdir: str, seed: int):
     h, w = ds.image_size
     img_dir = os.path.join(workdir, "evals", f"var{seed}_boxroom",
                            "run_latest", "rendered_images")
-    edge_mse, interior_mse = [], []
+    # Pixel-weighted sums across all views: a view with no depth edges
+    # contributes nothing to the edge bucket instead of a NaN per-image mean.
+    edge_sum = interior_sum = 0.0
+    edge_cnt = interior_cnt = 0
     for i in range(6):
         gt = ds.rgb_images[i].reshape(h, w, 3)
         depth = ds.depth_images[i].reshape(h, w)
@@ -132,15 +135,19 @@ def edge_breakdown(workdir: str, seed: int):
         pred = io_utils.load_rgb(os.path.join(img_dir, f"image-{i}.png"),
                                  transpose=False)
         sq = ((pred - gt) ** 2).mean(axis=-1)
-        edge_mse.append(float(sq[edge].mean()))
-        interior_mse.append(float(sq[~edge].mean()))
+        edge_sum += float(sq[edge].sum())
+        edge_cnt += int(edge.sum())
+        interior_sum += float(sq[~edge].sum())
+        interior_cnt += int((~edge).sum())
 
-    def psnr(m):
-        return float(-10.0 * np.log10(max(m, 1e-12)))
+    def psnr(total, count):
+        if count == 0:
+            return None
+        return float(-10.0 * np.log10(max(total / count, 1e-12)))
 
-    return {"edge_psnr": psnr(np.mean(edge_mse)),
-            "interior_psnr": psnr(np.mean(interior_mse)),
-            "edge_frac": float(edge.mean())}
+    return {"edge_psnr": psnr(edge_sum, edge_cnt),
+            "interior_psnr": psnr(interior_sum, interior_cnt),
+            "edge_frac": edge_cnt / max(edge_cnt + interior_cnt, 1)}
 
 
 def main() -> None:

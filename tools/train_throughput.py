@@ -42,6 +42,13 @@ def main() -> None:
                              "(no host assembly/transfer per dispatch) — "
                              "isolates the compiled graph's execution rate "
                              "from the host pipeline")
+    parser.add_argument("--joint", action="store_true",
+                        help="measure the joint pose+field stage "
+                             "(train/joint_runner.py scan dispatch) instead "
+                             "of the main trainer")
+    parser.add_argument("--platform", type=str, default="",
+                        help="JAX platform override (e.g. cpu to validate "
+                             "the tool without touching the chip)")
     args = parser.parse_args()
 
     from vf_nerf_tpu.config.parser import parse_config
@@ -70,7 +77,67 @@ def main() -> None:
     with open(conf_path, "w") as f:
         f.write(conf)
 
+    if args.joint:
+        # Joint-stage sustained throughput (VERDICT r2 #4): pure joint
+        # epochs (supervision blocks off — supervise_every=0), fresh-init
+        # model, same 1024-ray batches as the main measurement. The runner
+        # logs per-epoch rays_per_sec (each epoch ends in a device fetch);
+        # the first epochs carry the compile, so report the median of the
+        # post-warmup epochs.
+        from vf_nerf_tpu.config.joint_parser import parse_config as \
+            parse_joint
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        joint_conf = os.path.join(args.workdir, "joint.conf")
+        with open(joint_conf, "w") as f:
+            f.write(f"""
+train {{
+    initial_training_epochs = 0
+    supervised_vf_epochs = 0
+    joint_epochs = {args.epochs + 2}
+    supervise_every = 0
+    supervision_epochs = 0
+    refinement_init_lr = 1e-4
+    reset_scheduler = False
+}}
+joint_optimization {{
+    save_frequency = 100000
+    num_bases = 6
+    decimation = 1.0
+    self_supervise = True
+}}
+""")
+        cfg = parse_joint(scene="boxroom", vf_config_path=conf_path,
+                          joint_config_path=joint_conf,
+                          gpu=args.platform or "auto",
+                          expname="throughput", timestamp="joint",
+                          data_root_dir=args.workdir, offline=True)
+        cfg.vf_config.dataset_config.factor = 1  # keep all exported views
+        if args.spd:
+            cfg.vf_config.vf_nerf_config.device_config \
+                .steps_per_dispatch = args.spd
+        runner = JointOptimizationRunner(cfg)
+        n_rays = runner._trim(
+            cfg.vf_config.vf_nerf_config.ray_sampler_config.rays_per_batch)
+        print(f"== joint stage: {args.epochs + 2} epochs x "
+              f"{len(runner.dataset)} steps x {n_rays} rays "
+              "(first 2 epochs = warmup/compile) ==", flush=True)
+        runner.train()
+        with open(os.path.join(runner.run_dir, "metrics.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        rates = sorted(r["rays_per_sec"] for r in rows[2:])
+        median = rates[len(rates) // 2]
+        print(json.dumps({
+            "metric": "sustained joint-stage rays/sec (scan dispatch)",
+            "value": round(median, 1),
+            "unit": "rays/sec",
+            "per_step_ms": round(n_rays / median * 1e3, 2),
+            "n_rays": n_rays,
+            "per_epoch": [round(r["rays_per_sec"], 1) for r in rows],
+        }), flush=True)
+        return
+
     config = parse_config(scene="boxroom", config_path=conf_path,
+                          gpu=args.platform or "auto",
                           expname="throughput", data_root_dir=args.workdir,
                           offline=True)
     config.dataset_config.factor = 1  # keep all exported views
