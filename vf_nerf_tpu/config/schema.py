@@ -117,10 +117,12 @@ class DeviceConfig:
     # different draws (PARITY.md).
     static_fine_growth: bool = False
     # MLP matmul/activation compute precision ("float32" | "bfloat16").
-    # Params stay float32 either way (flax mixed precision). bfloat16 is
-    # the TPU-native serving precision: MXU-rate matmuls + half the HBM
-    # activation traffic. Default float32 keeps bit-level parity with the
-    # reference; see PARITY.md for the measured speed/quality trade.
+    # Params stay float32 either way (flax mixed precision). Measured on
+    # v5e (PARITY.md serving sweep): bf16 is throughput-NEUTRAL at these
+    # shapes — XLA's default TPU matmul precision already runs f32 matmuls
+    # through the MXU's bf16 path, and the residual ceiling is dtype-
+    # independent per-sample work — so float32 (bit-level reference
+    # parity) is the right default everywhere.
     compute_dtype: str = "float32"
 
 

@@ -72,8 +72,9 @@ class _MLPLayer(nn.Module):
     """One linear(+BN) layer with reference init/normalization options.
 
     ``compute_dtype`` (e.g. bfloat16) sets the matmul/activation compute
-    precision — params stay float32 (flax mixed precision); on TPU this
-    halves the HBM activation traffic that dominates the MLP's runtime.
+    precision — params stay float32 (flax mixed precision). Measured
+    throughput-neutral on v5e at production shapes (PARITY.md serving
+    sweep); float32 stays the default.
     """
 
     features: int

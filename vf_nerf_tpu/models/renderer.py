@@ -130,9 +130,10 @@ class VFNerfModules:
     """The two Flax module definitions, built once from config.
 
     ``compute_dtype="bfloat16"`` runs the MLP matmuls/activations in bf16
-    (params stay f32) — the TPU-native serving precision, roughly halving the
-    HBM activation traffic that bounds MLP throughput. Default float32 keeps
-    bit-level parity with the reference for training.
+    (params stay f32). Measured throughput-neutral on v5e at production
+    shapes (PARITY.md serving sweep) — XLA's default TPU matmul precision
+    already takes the MXU bf16 path for f32 inputs. Default float32 keeps
+    bit-level parity with the reference.
     """
 
     def __init__(self, cfg: VFNerfConfig,
