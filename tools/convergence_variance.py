@@ -27,18 +27,20 @@ import shutil
 import subprocess
 import sys
 import time
+from typing import Tuple
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def export_scene(workdir: str):
+def export_scene(workdir: str, n_images: int = 6,
+                 image_size: Tuple[int, int] = (96, 128)):
     import numpy as np
 
     from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
     from vf_nerf_tpu.train.vf_init import default_vf_config, fit_vf_init
 
-    ds = SyntheticBoxDataset(n_images=6, image_size=(96, 128),
+    ds = SyntheticBoxDataset(n_images=n_images, image_size=image_size,
                              pixels_per_batch=1024)
     ds.export_replica_format(workdir, scene="boxroom")
     wall_radius = ds.max_depth * 1.25 / 2.0
@@ -107,14 +109,15 @@ print("CHILD_RESULT " + json.dumps(out))
 """
 
 
-def edge_breakdown(workdir: str, seed: int):
+def edge_breakdown(workdir: str, seed: int, n_images: int = 6,
+                   image_size: Tuple[int, int] = (96, 128)):
     """Edge vs interior PSNR from the GT depth-gradient mask."""
     import numpy as np
 
     from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
     from vf_nerf_tpu.utils import io as io_utils
 
-    ds = SyntheticBoxDataset(n_images=6, image_size=(96, 128),
+    ds = SyntheticBoxDataset(n_images=n_images, image_size=image_size,
                              pixels_per_batch=1024)
     h, w = ds.image_size
     img_dir = os.path.join(workdir, "evals", f"var{seed}_boxroom",
@@ -123,7 +126,7 @@ def edge_breakdown(workdir: str, seed: int):
     # contributes nothing to the edge bucket instead of a NaN per-image mean.
     edge_sum = interior_sum = 0.0
     edge_cnt = interior_cnt = 0
-    for i in range(6):
+    for i in range(n_images):
         gt = ds.rgb_images[i].reshape(h, w, 3)
         depth = ds.depth_images[i].reshape(h, w)
         gy, gx = np.gradient(depth)
