@@ -216,11 +216,20 @@ joint_optimization {{
     if args.span:
         import jax
         spd = config.vf_nerf_config.device_config.steps_per_dispatch
-        # Warmup must execute BOTH dispatch shapes (the full chunk and the
-        # tail) — the relay compiles server-side at first execution of each
-        # shape, which would otherwise land inside the timed region.
+        # Warmup must execute every dispatch shape the TIMED run will
+        # produce (the full chunk and the timed run's tail) — the relay
+        # compiles server-side at first execution of each shape, which
+        # would otherwise land inside the timed region. After the epoch-0
+        # save flush, the warmup dispatches (warm-1)*steps_per_epoch steps
+        # in `chunk`-sized pieces; choosing warm = epochs + m + 1 with
+        # m*steps_per_epoch ≡ 0 (mod chunk) makes the warmup tail length
+        # CONGRUENT to the timed tail (epochs*steps_per_epoch mod chunk),
+        # so both the chunk shape and the exact tail shape are pre-compiled
+        # for any --epochs/--spd combination.
+        import math
         chunk = spd if spd > 0 else steps_per_epoch
-        warm = max(2, chunk // steps_per_epoch + 1)
+        m = chunk // math.gcd(chunk, steps_per_epoch)
+        warm = args.epochs + m + 1
         print(f"== warmup ({warm} epochs through _train_span) ==",
               flush=True)
         t0 = time.perf_counter()
@@ -250,7 +259,7 @@ joint_optimization {{
     # epoch-boundary host work overlaps the in-flight device scan.
     from vf_nerf_tpu.train.runner import _EpochAssembler
     spd = config.vf_nerf_config.device_config.steps_per_dispatch
-    assembler = _EpochAssembler(runner, range(0, args.epochs + 2), spd) \
+    assembler = _EpochAssembler(runner, range(0, args.epochs + 2), depth=2) \
         if spd != 1 else None
     if assembler is None:
         runner.dataset.sample_new_images()

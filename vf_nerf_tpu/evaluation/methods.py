@@ -283,6 +283,8 @@ def metrics_3d_no_vf(eval_path: str, checkpoint: str,
     mesh_path = os.path.join(eval_path, "mesh",
                              f"mesh-scaled-{checkpoint}.ply")
     if not os.path.exists(mesh_path):
+        # QUIRK (reproduced): the reference raises FileExistsError — not
+        # FileNotFoundError — for the missing mesh (``methods.py:765``).
         raise FileExistsError("Marching cubes mesh does not exist. "
                               "Please generate the mesh first.")
     verts, faces = load_ply(mesh_path)

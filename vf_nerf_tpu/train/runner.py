@@ -383,10 +383,16 @@ class VectorFieldNerfRunner:
     def _use_compact(self) -> bool:
         """Compact (R, 7) ray packing + device pose table (5.4× less relay
         traffic): mixed-view batches only (they carry ``view_idx``; pose/
-        intrinsics are per-view constants), and not ``far_per_ray`` (the
-        per-ray far column is not packed)."""
+        intrinsics are per-view constants), not ``far_per_ray`` (the
+        per-ray far column is not packed), and not ``random_img_sampling``
+        (that mode re-assigns ``dataset.poses`` to a fresh subset every
+        epoch, so a once-fed device pose table would go stale while
+        ``view_idx`` keeps indexing the current epoch's subset — those
+        configs take the full (R, 38) packing, which carries poses
+        per ray)."""
         return (self.config.dataset_config.shuffle_views and
-                not self.config.dataset_config.far_per_ray)
+                not self.config.dataset_config.far_per_ray and
+                not self.config.dataset_config.random_img_sampling)
 
     def _get_span_step(self):
         """Jitted epoch-spanning scan step for the CURRENT statics."""
@@ -463,6 +469,7 @@ class VectorFieldNerfRunner:
         # dispatches and a dispatch may span epochs).
         self._span_accum: Dict[int, Dict[str, Any]] = {}
         self._span_pending = []   # dispatched, not yet fetched
+        self._span_last_fetch_t = None
 
         buf: list = []            # step records awaiting dispatch
 
@@ -523,7 +530,7 @@ class VectorFieldNerfRunner:
             self._span_pending.append({
                 "metrics": metrics,
                 "epochs": [t[1] for t in take],
-                "elapsed": t1 - t0,
+                "t0": t0,
                 "step_base": host_step,
             })
             host_step += len(take)
@@ -576,7 +583,18 @@ class VectorFieldNerfRunner:
         from vf_nerf_tpu.parallel.train_step import (METRIC_KEYS,
                                                      SPAN_METRIC_KEYS)
         rows = np.asarray(jax.device_get(pending["metrics"]))
-        share = pending["elapsed"] / max(len(pending["epochs"]), 1)
+        # Wall time is attributed HERE, at a point of known completion (the
+        # device_get above is the hard sync): deltas between consecutive
+        # fetches tile wall-clock exactly, so per-epoch rays_per_sec is the
+        # true sustained rate including device execution. The enqueue-side
+        # t1 - t0 this replaces excluded device time entirely (jitted calls
+        # are async even with donated inputs) and overstated throughput by
+        # the compute/host ratio.
+        now = time.perf_counter()
+        prev = self._span_last_fetch_t
+        self._span_last_fetch_t = now
+        elapsed = now - (prev if prev is not None else pending["t0"])
+        share = elapsed / max(len(pending["epochs"]), 1)
         step_end: Dict[int, int] = {}
         for i, e in enumerate(pending["epochs"]):
             acc = self._span_accum[e]
@@ -659,7 +677,6 @@ class VectorFieldNerfRunner:
                 self.model.state = state
                 count += block.shape[0]
                 self._timer.tick()
-            dispatch_t1 = time.perf_counter()
         else:
             # Per-step dispatch: batch assembly + packing + host→device
             # transfer run one step ahead in a worker thread.
@@ -686,10 +703,6 @@ class VectorFieldNerfRunner:
         pending = {
             "epoch": epoch, "count": count, "window": window,
             "t0": epoch_t0,
-            # End of THIS epoch's dispatch loop: the throughput denominator
-            # stops here instead of at the deferred resolution (which would
-            # fold the next epoch's host-side packing into epoch e's rate).
-            "t1": dispatch_t1 if spd != 1 else None,
             # state.step is copied: the state buffers get DONATED by the
             # next epoch's first dispatch, which would delete the stashed
             # reference before the deferred fetch. sums and the derived
@@ -720,13 +733,18 @@ class VectorFieldNerfRunner:
             averages["rays_per_sec"] = self._timer.rays_per_sec(
                 self._batch_rays())
         else:
-            # Wall-clock of the epoch's own dispatch loop (t0 → end of its
-            # last dispatch). Dispatches are async but each scan step blocks
-            # on the previous step's donated state, so t1 trails the device
-            # by at most one in-flight dispatch — far closer to the device
-            # rate than timing to the deferred resolution, which included
-            # the NEXT epoch's eager host-side packing (advisor r2).
-            elapsed = pending["t1"] - pending["t0"]
+            # Wall time between consecutive deferred resolutions: the
+            # device_get above is the hard sync on this epoch's device
+            # work, and resolutions happen once per epoch in steady state,
+            # so the deltas tile wall-clock exactly — the logged rate is
+            # the true sustained rate including device execution. (The
+            # dispatch-loop t1 - t0 this replaces excluded device time —
+            # jitted scan dispatches are async even with donated inputs —
+            # and overstated throughput by the compute/host ratio.)
+            now = time.perf_counter()
+            prev = getattr(self, "_last_resolve_t", None)
+            self._last_resolve_t = now
+            elapsed = now - (prev if prev is not None else pending["t0"])
             averages["rays_per_sec"] = count * self._batch_rays() / elapsed
         self.logger.log(averages, step=pending["epoch"])
         return pending["epoch"], averages.get("loss", float("nan"))
