@@ -34,14 +34,16 @@ sys.path.insert(0, REPO)
 
 
 def export_scene(workdir: str, n_images: int = 6,
-                 image_size: Tuple[int, int] = (96, 128)):
+                 image_size: Tuple[int, int] = (96, 128),
+                 pitch_range: float = 0.3):
     import numpy as np
 
     from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
     from vf_nerf_tpu.train.vf_init import default_vf_config, fit_vf_init
 
     ds = SyntheticBoxDataset(n_images=n_images, image_size=image_size,
-                             pixels_per_batch=1024)
+                             pixels_per_batch=1024,
+                             pitch_range=pitch_range)
     ds.export_replica_format(workdir, scene="boxroom")
     wall_radius = ds.max_depth * 1.25 / 2.0
     params, stats = fit_vf_init(default_vf_config(), "exterior_scene",

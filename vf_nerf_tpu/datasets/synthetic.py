@@ -97,7 +97,8 @@ class SyntheticBoxDataset(BaseDataset):
                  shuffle_views: bool = True,
                  all_pixels: bool = False,
                  seed: int = 0,
-                 train: bool = True) -> None:
+                 train: bool = True,
+                 pitch_range: float = 0.3) -> None:
         if config is not None:
             # Registry path: dataset_dict[name](config) like the reference.
             pixels_per_batch = config.pixels_per_batch
@@ -107,6 +108,10 @@ class SyntheticBoxDataset(BaseDataset):
                          pixels_per_batch=pixels_per_batch,
                          all_pixels=all_pixels)
         self.half_size = half_size
+        # Camera pitch spread (radians). The 0.3 default leaves floor/
+        # ceiling largely unobserved (recall in 3D metrics is bounded by
+        # view coverage); widen (e.g. 1.1) for full-coverage studies.
+        self.pitch_range = pitch_range
         self.image_size = image_size
         h, w = image_size
 
@@ -127,7 +132,7 @@ class SyntheticBoxDataset(BaseDataset):
         poses = []
         for i in range(self.n_images):
             yaw = 2 * np.pi * i / self.n_images + rng.uniform(-0.2, 0.2)
-            pitch = rng.uniform(-0.3, 0.3)
+            pitch = rng.uniform(-self.pitch_range, self.pitch_range)
             forward = np.array([np.cos(pitch) * np.cos(yaw),
                                 np.cos(pitch) * np.sin(yaw),
                                 np.sin(pitch)], np.float32)
