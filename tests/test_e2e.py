@@ -456,3 +456,51 @@ class TestReproducibility:
                                              np.asarray(b)))),
             params[64], params[1])
         assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+    def test_span_equals_per_step_with_random_img_sampling(
+            self, tmp_path_factory):
+        """Span vs per-step equality under ``random_img_sampling`` — the
+        mode that re-assigns ``dataset.poses`` to a fresh subset every
+        epoch. This drives the NON-compact span packing (compact mode is
+        gated off here: a once-fed device pose table would go stale while
+        ``view_idx`` indexes the current epoch's subset) and pins that the
+        per-epoch np.random subset draws line up between the two
+        dispatch architectures."""
+        import jax
+        import numpy as np
+
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+        root = str(tmp_path_factory.mktemp("span_ris"))
+        ds = SyntheticBoxDataset(n_images=4, image_size=(8, 12),
+                                 pixels_per_batch=64)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        conf = TINY_CONF.replace("EXPS_PLACEHOLDER",
+                                 os.path.join(root, "exps"))
+        conf = conf.replace("pixels_per_batch = 96",
+                            "pixels_per_batch = 64")
+        conf = conf.replace("num_epochs = 3", "num_epochs = 4")
+        conf = conf.replace("random_img_sampling = False",
+                            "random_img_sampling = True")
+        conf = conf.replace("factor = 1", "factor = 2")
+        with open(conf_path, "w") as f:
+            f.write(conf)
+
+        params = {}
+        for spd in (64, 1):
+            config = parse_config(scene="boxroom", config_path=conf_path,
+                                  expname="r", timestamp=f"ris{spd}",
+                                  data_root_dir=root, offline=True)
+            config.vf_nerf_config.device_config.steps_per_dispatch = spd
+            runner = VectorFieldNerfRunner(config)
+            assert not runner._use_compact()
+            runner.train()
+            params[spd] = jax.device_get(runner.model.state.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) -
+                                             np.asarray(b)))),
+            params[64], params[1])
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-7
