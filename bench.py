@@ -43,14 +43,18 @@ def main() -> None:
     float(run(keys[0]))  # warmup / compile / sync
 
     n_rays = args[1].shape[0]
-    n_iters = 50
-    start = time.perf_counter()
-    for i in range(n_iters):
-        out = run(keys[i + 1])
-    float(out)  # hard sync via host fetch
-    elapsed = time.perf_counter() - start
-
-    rays_per_sec = n_rays * n_iters / elapsed
+    n_iters = 33
+    # Median of 3 trials: single-trial numbers swing ±5% with transient
+    # relay load; the median is reproducible run to run.
+    rates = []
+    for t in range(3):
+        start = time.perf_counter()
+        for i in range(n_iters):
+            out = run(keys[t * n_iters + i + 1])
+        float(out)  # hard sync via host fetch
+        elapsed = time.perf_counter() - start
+        rates.append(n_rays * n_iters / elapsed)
+    rays_per_sec = sorted(rates)[1]
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     vs_baseline = None
