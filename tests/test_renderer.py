@@ -315,3 +315,47 @@ class TestComputeDtype:
         # params stay float32 (mixed precision, not a cast model).
         leaves = jax.tree_util.tree_leaves(model.state.params)
         assert all(x.dtype == jnp.float32 for x in leaves)
+
+
+class TestConfigMatrix:
+    """End-to-end render across the reference's config corners: rendering-
+    net modes (``rendering_network.py:40-60``: idr / no_view_dir /
+    no_normals), weight-normalized nets (``nn.utils.weight_norm``
+    parameterization), and both compositing modes. Each cell must produce
+    finite, in-range outputs — these paths exist upstream but only ``idr``
+    + plain BN nets are exercised by the parity suite."""
+
+    @pytest.mark.parametrize("mode", ["idr", "no_view_dir", "no_normals"])
+    @pytest.mark.parametrize("weight_norm", [False, True])
+    def test_modes_render_finite(self, mode, weight_norm):
+        import dataclasses as dc
+
+        cfg = tiny_config(batch_norm=not weight_norm)
+        cfg = dc.replace(
+            cfg,
+            vf_net_config=dc.replace(cfg.vf_net_config,
+                                     weight_norm=weight_norm),
+            rendering_net_config=dc.replace(cfg.rendering_net_config,
+                                            mode=mode,
+                                            weight_norm=weight_norm))
+        modules = VFNerfModules(cfg)
+        variables = modules.init_variables(jax.random.PRNGKey(0))
+        ds, batch = make_batch(n_rays=16)
+        out = _render(cfg, modules, variables, batch, ds, n_fine=6,
+                      perturb=False)
+        rgb = np.asarray(out["rgb"])
+        assert rgb.shape == (16, 3)
+        assert np.all(np.isfinite(rgb))
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+        assert np.all(np.isfinite(np.asarray(out["depth"])))
+
+    def test_nerf_rendering_mode_finite(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(tiny_config(), rendering="nerf")
+        modules = VFNerfModules(cfg)
+        variables = modules.init_variables(jax.random.PRNGKey(0))
+        ds, batch = make_batch(n_rays=16)
+        out = _render(cfg, modules, variables, batch, ds, n_fine=6,
+                      perturb=False)
+        assert np.all(np.isfinite(np.asarray(out["rgb"])))
