@@ -220,3 +220,162 @@ class TestTorchParity:
                                     jnp.asarray(normals), jnp.asarray(dirs),
                                     jnp.asarray(feats), train=False))
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    def test_vf_weight_norm_parity(self):
+        """Weight-normalized VF net (``nn.utils.weight_norm``; dim=0 →
+        per-output-row gains) with transplanted v/g/bias."""
+        add_reference_to_path()
+        import dataclasses
+
+        import torch
+        from config_parser.vf_nerf_config import VFNetConfig as RefVFCfg
+        from models.vector_field.vector_field_network import \
+            VectorFieldNetwork
+
+        torch.manual_seed(5)
+        ref_cfg = RefVFCfg(input_dims=3, output_dims=3, dimensions=[64] * 4,
+                           feature_vector_dims=32, embedder_multires=6,
+                           weight_norm=True, batch_norm=False,
+                           skip_connection_in=[2], bias_init=0.0,
+                           dropout=False, dropout_probability=0.0,
+                           xavier_init=False, init="")
+        ref_net = VectorFieldNetwork(ref_cfg).eval()
+
+        cfg = dataclasses.replace(VF_CFG, dimensions=[64] * 4,
+                                  feature_vector_dims=32, batch_norm=False,
+                                  weight_norm=True, skip_connection_in=[2])
+        params, _ = mlp_state_from_torch(ref_net.state_dict(), n_layers=5,
+                                         batch_norm=False, weight_norm=True)
+        net = VectorFieldMLP(cfg)
+
+        pts = np.random.RandomState(6).randn(32, 3).astype(np.float32)
+        with torch.no_grad():
+            theirs = ref_net(torch.from_numpy(pts)).numpy()
+        ours = np.asarray(net.apply({"params": params}, jnp.asarray(pts),
+                                    train=False))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_rendering_weight_norm_parity(self):
+        add_reference_to_path()
+        import dataclasses
+
+        import torch
+        from config_parser.vf_nerf_config import \
+            RenderingNetConfig as RefRenderCfg
+        from models.vector_field.rendering_network import RenderingNetwork
+
+        torch.manual_seed(7)
+        ref_cfg = RefRenderCfg(output_dims=3, dimensions=[64] * 4,
+                               feature_vector_dims=32, weight_norm=True,
+                               batch_norm=False, mode="idr",
+                               embedder_multires=4, detach_normals=True)
+        ref_net = RenderingNetwork(ref_cfg).eval()
+
+        cfg = dataclasses.replace(RENDER_CFG, dimensions=[64] * 4,
+                                  feature_vector_dims=32, weight_norm=True,
+                                  batch_norm=False)
+        params, _ = mlp_state_from_torch(ref_net.state_dict(), n_layers=5,
+                                         batch_norm=False, weight_norm=True)
+        net = RenderingMLP(cfg)
+
+        rng = np.random.RandomState(8)
+        pts = rng.randn(16, 3).astype(np.float32)
+        normals = rng.randn(16, 3).astype(np.float32)
+        dirs = rng.randn(16, 3).astype(np.float32)
+        feats = rng.randn(16, 32).astype(np.float32)
+        with torch.no_grad():
+            theirs = ref_net(torch.from_numpy(pts),
+                             torch.from_numpy(normals),
+                             torch.from_numpy(dirs),
+                             torch.from_numpy(feats)).numpy()
+        ours = np.asarray(net.apply({"params": params}, jnp.asarray(pts),
+                                    jnp.asarray(normals), jnp.asarray(dirs),
+                                    jnp.asarray(feats), train=False))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["no_view_dir", "no_normals"])
+    def test_rendering_mode_parity(self, mode):
+        """The two non-idr input assemblies (``rendering_network.py:25-30``,
+        forward :81-101) against the reference with transplanted weights.
+
+        QUIRK: the reference sizes layer 0 for the embedded view dirs
+        unconditionally (``:38-39``) but only concatenates them in
+        idr/no_normals — ``no_view_dir`` with ``embedder_multires > 0``
+        CRASHES upstream (pinned below), so its parity case runs with the
+        embedder off."""
+        add_reference_to_path()
+        import dataclasses
+
+        import torch
+        from config_parser.vf_nerf_config import \
+            RenderingNetConfig as RefRenderCfg
+        from models.vector_field.rendering_network import RenderingNetwork
+
+        torch.manual_seed(9)
+        multires = 0 if mode == "no_view_dir" else 4
+        ref_cfg = RefRenderCfg(output_dims=3, dimensions=[64] * 3,
+                               feature_vector_dims=32, weight_norm=False,
+                               batch_norm=True, mode=mode,
+                               embedder_multires=multires,
+                               detach_normals=True)
+        ref_net = RenderingNetwork(ref_cfg).eval()
+
+        cfg = dataclasses.replace(RENDER_CFG, dimensions=[64] * 3,
+                                  feature_vector_dims=32, mode=mode,
+                                  embedder_multires=multires)
+        params, batch_stats = mlp_state_from_torch(
+            ref_net.state_dict(), n_layers=4, batch_norm=True,
+            weight_norm=False)
+        net = RenderingMLP(cfg)
+
+        rng = np.random.RandomState(10)
+        pts = rng.randn(16, 3).astype(np.float32)
+        normals = rng.randn(16, 3).astype(np.float32)
+        dirs = rng.randn(16, 3).astype(np.float32)
+        feats = rng.randn(16, 32).astype(np.float32)
+        with torch.no_grad():
+            theirs = ref_net(torch.from_numpy(pts),
+                             torch.from_numpy(normals),
+                             torch.from_numpy(dirs),
+                             torch.from_numpy(feats)).numpy()
+        ours = np.asarray(net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(pts), jnp.asarray(normals), jnp.asarray(dirs),
+            jnp.asarray(feats), train=False))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+    def test_no_view_dir_embedder_quirk(self):
+        """Pin the upstream crash: ``no_view_dir`` + ``embedder_multires>0``
+        raises a matmul shape error in the reference (layer 0 sized for
+        embedded view dirs that the forward never concatenates,
+        ``rendering_network.py:38-39`` vs ``:92-101``); our RenderingMLP
+        sizes layers from the actual input and works."""
+        add_reference_to_path()
+        import dataclasses
+
+        import torch
+        from config_parser.vf_nerf_config import \
+            RenderingNetConfig as RefRenderCfg
+        from models.vector_field.rendering_network import RenderingNetwork
+
+        ref_cfg = RefRenderCfg(output_dims=3, dimensions=[32] * 2,
+                               feature_vector_dims=16, weight_norm=False,
+                               batch_norm=True, mode="no_view_dir",
+                               embedder_multires=4, detach_normals=True)
+        ref_net = RenderingNetwork(ref_cfg).eval()
+        rng = np.random.RandomState(0)
+        args = [torch.from_numpy(rng.randn(8, d).astype(np.float32))
+                for d in (3, 3, 3, 16)]
+        with pytest.raises(RuntimeError):
+            with torch.no_grad():
+                ref_net(*args)
+
+        cfg = dataclasses.replace(RENDER_CFG, dimensions=[32] * 2,
+                                  feature_vector_dims=16,
+                                  mode="no_view_dir", embedder_multires=4)
+        net = RenderingMLP(cfg)
+        jargs = (jnp.zeros((8, 3)), jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+                 jnp.zeros((8, 16)))
+        variables = net.init(jax.random.PRNGKey(0), *jargs, train=False)
+        out = net.apply(variables, *jargs, train=False)
+        assert out.shape == (8, 3) and bool(jnp.all(jnp.isfinite(out)))

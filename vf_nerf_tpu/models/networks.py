@@ -60,7 +60,8 @@ class WeightNormDense(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         v = self.param("v", torch_linear_init(self.fan_in),
                        (self.fan_in, self.features))
-        g = self.param("g", lambda k, s: jnp.linalg.norm(v, axis=0), ())
+        g = self.param("g", lambda k, s: jnp.linalg.norm(v, axis=0),
+                       (self.features,))
         b = self.param("bias", torch_linear_init(self.fan_in),
                        (self.features,))
         w = v * (g / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True),

@@ -55,9 +55,12 @@ def mlp_state_from_torch(state_dict: Dict[str, Any],
         scope: Dict[str, Any] = {}
         has_bn = batch_norm and not weight_norm and i < n_layers - 1
         if weight_norm:
+            # torch weight_norm(dim=0): weight_g is (out, 1) — per-output
+            # -row gains with the norm over the input dim. Our
+            # WeightNormDense keeps v as (in, out) and g as (out,).
             scope["WeightNormDense_0"] = {
                 "v": _to_numpy(state[f"layers.{i}.weight_v"]).T,
-                "g": _to_numpy(state[f"layers.{i}.weight_g"]).reshape(()),
+                "g": _to_numpy(state[f"layers.{i}.weight_g"]).reshape(-1),
                 "bias": _to_numpy(state[f"layers.{i}.bias"]),
             }
         elif has_bn:
