@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--joint", action="store_true",
                         help="also run a short joint pose+field stage from "
                              "the trained checkpoint")
+    parser.add_argument("--save-freq", type=int, default=1,
+                        help="checkpoint save frequency (use e.g. 500 for "
+                             "long full-protocol runs — every save breaks "
+                             "the span dispatch and writes ~50 MB)")
     args = parser.parse_args()
 
     import numpy as np
@@ -57,7 +61,8 @@ def main() -> None:
     with open(conf_src) as f:
         conf = f.read()
     conf = conf.replace("num_epochs = 3001", f"num_epochs = {args.epochs}")
-    conf = conf.replace("save_frequency = 100", "save_frequency = 1")
+    conf = conf.replace("save_frequency = 100",
+                        f"save_frequency = {args.save_freq}")
     conf = conf.replace('exps_folder = "./exps_vf_nerf"',
                         f'exps_folder = "{exps}"')
     conf = conf.replace("factor = 20", "factor = 1") \
