@@ -359,3 +359,47 @@ class TestConfigMatrix:
         out = _render(cfg, modules, variables, batch, ds, n_fine=6,
                       perturb=False)
         assert np.all(np.isfinite(np.asarray(out["rgb"])))
+
+
+class TestRenderImage:
+    def test_scan_image_render_equals_per_chunk_facade(self):
+        """``render_image`` (whole image as one on-device lax.scan) must
+        reproduce the per-chunk facade path exactly — eval semantics
+        (perturb off) make the PRNG key inert, so only layout differs."""
+        import dataclasses as dc
+
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+
+        cfg = tiny_config(perturb=False)
+        model = VectorFieldNerf(cfg, seed=0)
+        model.eval()
+        ds = SyntheticBoxDataset(n_images=1, image_size=(8, 12),
+                                 pixels_per_batch=32, all_pixels=True)
+        model.near, model.far = ds.get_bounds()
+        batch = ds[0]
+        n = batch["uv"].shape[0]          # 96 pixels
+        split = 40                        # forces a padded tail chunk
+
+        rgb_scan, depth_scan = model.render_image(
+            batch["uv"], batch["pose"][0], batch["intrinsics"][0],
+            epoch=0, split_size=split)
+
+        rgbs, depths = [], []
+        for start in range(0, n, split):
+            end = min(start + split, n)
+            uv = batch["uv"][start:end]
+            pose = batch["pose"][start:end]
+            intr = batch["intrinsics"][start:end]
+            pad = split - (end - start)
+            if pad:
+                uv = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)])
+                pose = np.concatenate([pose, np.repeat(pose[-1:], pad, 0)])
+                intr = np.concatenate([intr, np.repeat(intr[-1:], pad, 0)])
+            out = model.render(pose, uv, intr, 0)
+            rgbs.append(np.asarray(out["rgb"])[:end - start])
+            depths.append(np.asarray(out["depth"])[:end - start])
+        rgb_chunk = np.concatenate(rgbs)
+        depth_chunk = np.concatenate(depths)
+
+        np.testing.assert_allclose(rgb_scan, rgb_chunk, atol=1e-6)
+        np.testing.assert_allclose(depth_scan, depth_chunk, atol=1e-6)

@@ -173,21 +173,38 @@ class VectorFieldNerf:
         self.config = config
         self.modules = VFNerfModules(
             config, compute_dtype=config.device_config.compute_dtype)
-        self._rng = jax.random.PRNGKey(seed)
 
-        key = self._next_key()
-        variables = self.modules.init_variables(key)
-        # Fine sampling duplicates the VF params in the reference optimizer
-        # (parameters() :127-137) — reproduce those dynamics (quirk).
-        self._duplicate_vf = config.ray_sampler_config.n_importance > 0
-        self.optimizer, self.lr_schedule = make_optimizer(
-            config.scheduler_config, decay_steps,
-            duplicate_vf=self._duplicate_vf)
+        # The whole init runs pinned to the host CPU backend: flax/optax
+        # init is a few hundred EAGER ops, and on a remote-attached TPU
+        # every new eager op pays a relay round-trip plus a server-side
+        # compile (~1-3 s each — measured ~7 min of model __init__ before
+        # this). threefry is backend-deterministic, so the initial values
+        # are identical; leaves are handed over as UNCOMMITTED numpy so
+        # jit / sharding placement downstream stays free (the first
+        # dispatch transfers the state once, then the returned device
+        # arrays carry forward).
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            self._rng = jax.device_put(jax.random.PRNGKey(seed), cpu)
+            key = self._next_key()
+            variables = self.modules.init_variables(key)
+            # Fine sampling duplicates the VF params in the reference
+            # optimizer (parameters() :127-137) — reproduce those
+            # dynamics (quirk).
+            self._duplicate_vf = config.ray_sampler_config.n_importance > 0
+            self.optimizer, self.lr_schedule = make_optimizer(
+                config.scheduler_config, decay_steps,
+                duplicate_vf=self._duplicate_vf)
+            opt_state = self.optimizer.init(variables["params"])
+
+        def host(tree):
+            return jax.tree_util.tree_map(np.asarray, tree)
+
         self.state = TrainState(
-            params=variables["params"],
-            batch_stats=variables["batch_stats"],
-            opt_state=self.optimizer.init(variables["params"]),
-            step=jnp.zeros((), jnp.int32))
+            params=host(variables["params"]),
+            batch_stats=host(variables["batch_stats"]),
+            opt_state=host(opt_state),
+            step=np.zeros((), np.int32))
 
         # Fine-sample growth state (reference RangeFineSampler.N_samples,
         # grown by the trainer; ray_sampler.py:276).
@@ -205,8 +222,22 @@ class VectorFieldNerf:
 
     # ------------------------------------------------------------------ rng
     def _next_key(self) -> jax.Array:
-        self._rng, key = jax.random.split(self._rng)
-        return key
+        """Advance the model RNG and return a fresh key.
+
+        The split runs pinned to the host CPU backend: it is an EAGER op,
+        and on a remote-attached TPU each eager op on the default backend
+        costs a full relay round-trip (~33-100 ms) — per render chunk,
+        that dwarfed the 4 ms of device compute (same trap as the eager
+        LR schedule, DEVELOPMENT.md). threefry is backend-deterministic,
+        so the key values are identical; jitted consumers receive the
+        key as a (tiny) host array input."""
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            self._rng, key = jax.random.split(jax.device_put(self._rng, cpu))
+        # Return an UNCOMMITTED key (numpy): a cpu-committed jax.Array
+        # would commit everything computed from it (e.g. the initial
+        # params) to cpu:0 and clash with sharded consumers.
+        return np.asarray(key)
 
     # ------------------------------------------------------------- modes
     def train(self) -> None:
@@ -280,6 +311,81 @@ class VectorFieldNerf:
                   jnp.asarray(self.near, jnp.float32),
                   jnp.asarray(self.far, jnp.float32),
                   jnp.asarray(self.window_weights), self._next_key())
+
+    # Chunks per image-render dispatch. Fixed so ONE compiled program
+    # serves every image size / chunk count / process: the axon relay
+    # compiles server-side at first execution per process regardless of
+    # the local persistent cache, and compile time grows with program
+    # size — a whole-image (K≈800) scan cost ~60 s/image in re-compiles
+    # while a 64-chunk scan compiles once in ~1 min and then runs every
+    # super-chunk at the device rate.
+    IMAGE_RENDER_SUPER_CHUNKS = 64
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted_image_render(self, statics: RenderStatics, split: int):
+        """``lax.scan`` over a fixed (SUPER, split, 2) pixel block with ONE
+        (4, 4) pose/intrinsics broadcast on device.
+
+        The per-chunk facade loop pays ~3 host→device puts per chunk
+        through the axon relay (~33 ms latency each — ~100 ms/chunk
+        against 4 ms of device compute; measured 95 s/image at 680×1200).
+        Scanning the chunk loop on device makes a super-chunk one put +
+        one dispatch."""
+        def fn(variables, uv_stack, pose44, intr44, near, far, weights,
+               key):
+            def body(_, uv):
+                out = render_rays(
+                    self.modules, variables, uv,
+                    jnp.broadcast_to(pose44, (split, 4, 4)),
+                    jnp.broadcast_to(intr44, (split, 4, 4)),
+                    near, far, weights, key, statics)
+                return 0, (out["rgb"], out["depth"])
+
+            _, (rgb, depth) = jax.lax.scan(body, 0, uv_stack)
+            return rgb.reshape(-1, 3), depth.reshape(-1, 1)
+        return jax.jit(fn)
+
+    def render_image(self, pixels, pose, intrinsics, epoch: int,
+                     white: bool = False, split_size: int = 1024
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Render ALL of an image's rays in a handful of device dispatches.
+
+        :param pixels: (N, 2) pixel coords; ``pose``/``intrinsics`` one
+            (4, 4) each (constant across an image — per-ray copies would
+            make the transfer 17× larger for no information).
+        :return: numpy (N, 3) rgb and (N, 1) depth.
+
+        Super-chunks (``IMAGE_RENDER_SUPER_CHUNKS`` × ``split_size`` rays)
+        are dispatched back-to-back (they pipeline through the relay) and
+        fetched once at the end. Eval semantics (``perturb=False``) make
+        the PRNG key inert, so chunks share one key; outputs equal the
+        per-chunk facade path (``tests/test_renderer.py``).
+        """
+        self.update_annealing(epoch)
+        statics = self.render_statics(white_background=white)
+        n = pixels.shape[0]
+        super_rays = self.IMAGE_RENDER_SUPER_CHUNKS * split_size
+        n_super = -(-n // super_rays)
+        pad = n_super * super_rays - n
+        uv = np.asarray(pixels, np.float32)
+        if pad:
+            uv = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)])
+        fn = self._jitted_image_render(statics, split_size)
+        const = (jnp.asarray(pose, jnp.float32).reshape(4, 4),
+                 jnp.asarray(intrinsics, jnp.float32).reshape(4, 4),
+                 jnp.asarray(self.near, jnp.float32),
+                 jnp.asarray(self.far, jnp.float32),
+                 jnp.asarray(self.window_weights), self._next_key())
+        variables = self.state.variables()
+        pending = []
+        for s in range(n_super):
+            block = uv[s * super_rays:(s + 1) * super_rays].reshape(
+                self.IMAGE_RENDER_SUPER_CHUNKS, split_size, 2)
+            pending.append(fn(variables, block, *const))
+        fetched = jax.device_get(pending)
+        rgb = np.concatenate([r for r, _ in fetched])
+        depth = np.concatenate([d for _, d in fetched])
+        return rgb[:n], depth[:n]
 
     @functools.lru_cache(maxsize=4)
     def _jitted_vector_field(self, train: bool):
