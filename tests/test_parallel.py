@@ -2,6 +2,7 @@
 sharded-vs-single-device equality (the psum correctness check) and
 checkpoint round-trip across topology change."""
 
+import os
 import dataclasses
 
 import numpy as np
@@ -240,3 +241,36 @@ class TestMeshEval:
         intr[:, 0, 0] = intr[:, 1, 1] = 25.0
         out = model.render(pose, uv, intr, epoch=0)
         assert out["rgb"].shape == (n_rays, 3)
+
+    def test_render_images_mesh_branch_equals_scan_branch(self, tmp_path):
+        """``methods.render_images`` takes the per-chunk sharded path when
+        ``eval_mesh`` is set and the on-device scan path otherwise — the
+        written images must be identical."""
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+        from vf_nerf_tpu.evaluation.methods import render_images
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+        from vf_nerf_tpu.utils import io as io_utils
+
+        root = str(tmp_path)
+        ds = SyntheticBoxDataset(n_images=1, image_size=(8, 16),
+                                 pixels_per_batch=32)
+        ds.export_replica_format(root, scene="boxroom")
+        ds_cfg = DatasetConfig(dataset_name="replica", data_dir="Replica",
+                               shuffle_views=True, pixels_per_batch=32,
+                               scene="boxroom", data_root_dir=root,
+                               factor=1)
+
+        cfg = tiny_config(n_samples=12, n_importance=4, perturb=False)
+        outs = {}
+        for name in ("scan", "mesh"):
+            model = VectorFieldNerf(cfg, seed=7, decay_steps=100)
+            model.eval()
+            if name == "mesh":
+                model.enable_mesh_eval(mesh_lib.make_mesh(8))
+            out_dir = os.path.join(root, f"evals_{name}")
+            render_images(model, out_dir, ds_cfg, epoch=0, split_size=32)
+            outs[name] = io_utils.load_rgb(
+                os.path.join(out_dir, "rendered_images", "image-0.png"),
+                transpose=False)
+        np.testing.assert_array_equal(outs["scan"], outs["mesh"])

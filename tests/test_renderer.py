@@ -371,19 +371,25 @@ class TestRenderImage:
         from vf_nerf_tpu.models.nerf import VectorFieldNerf
 
         cfg = tiny_config(perturb=False)
-        model = VectorFieldNerf(cfg, seed=0)
-        model.eval()
         ds = SyntheticBoxDataset(n_images=1, image_size=(8, 12),
                                  pixels_per_batch=32, all_pixels=True)
-        model.near, model.far = ds.get_bounds()
         batch = ds[0]
         n = batch["uv"].shape[0]          # 96 pixels
         split = 40                        # forces a padded tail chunk
 
-        rgb_scan, depth_scan = model.render_image(
+        # Two identically-seeded models: both paths must consume the SAME
+        # per-chunk key chain (keys are not inert — the range-fine
+        # sampler draws random depths for argmax-0 rays even in eval).
+        scan_model = VectorFieldNerf(cfg, seed=0)
+        scan_model.eval()
+        scan_model.near, scan_model.far = ds.get_bounds()
+        rgb_scan, depth_scan = scan_model.render_image(
             batch["uv"], batch["pose"][0], batch["intrinsics"][0],
             epoch=0, split_size=split)
 
+        model = VectorFieldNerf(cfg, seed=0)
+        model.eval()
+        model.near, model.far = ds.get_bounds()
         rgbs, depths = [], []
         for start in range(0, n, split):
             end = min(start + split, n)

@@ -331,9 +331,10 @@ class VectorFieldNerf:
         against 4 ms of device compute; measured 95 s/image at 680×1200).
         Scanning the chunk loop on device makes a super-chunk one put +
         one dispatch."""
-        def fn(variables, uv_stack, pose44, intr44, near, far, weights,
-               key):
-            def body(_, uv):
+        def fn(variables, uv_stack, keys, pose44, intr44, near, far,
+               weights):
+            def body(_, uv_key):
+                uv, key = uv_key
                 out = render_rays(
                     self.modules, variables, uv,
                     jnp.broadcast_to(pose44, (split, 4, 4)),
@@ -341,7 +342,7 @@ class VectorFieldNerf:
                     near, far, weights, key, statics)
                 return 0, (out["rgb"], out["depth"])
 
-            _, (rgb, depth) = jax.lax.scan(body, 0, uv_stack)
+            _, (rgb, depth) = jax.lax.scan(body, 0, (uv_stack, keys))
             return rgb.reshape(-1, 3), depth.reshape(-1, 1)
         return jax.jit(fn)
 
@@ -357,9 +358,12 @@ class VectorFieldNerf:
 
         Super-chunks (``IMAGE_RENDER_SUPER_CHUNKS`` × ``split_size`` rays)
         are dispatched back-to-back (they pipeline through the relay) and
-        fetched once at the end. Eval semantics (``perturb=False``) make
-        the PRNG key inert, so chunks share one key; outputs equal the
-        per-chunk facade path (``tests/test_renderer.py``).
+        fetched once at the end. Each chunk consumes the SAME per-chunk
+        key the facade loop would draw (one ``_next_key()`` per chunk —
+        the range-fine sampler uses uniform-random depths for argmax-0
+        rays even with ``perturb=False``, so keys are NOT inert), making
+        the outputs bit-equal to per-chunk ``render`` calls
+        (``tests/test_renderer.py``).
         """
         self.update_annealing(epoch)
         statics = self.render_statics(white_background=white)
@@ -370,18 +374,22 @@ class VectorFieldNerf:
         uv = np.asarray(pixels, np.float32)
         if pad:
             uv = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)])
+        keys = np.stack([self._next_key() for _ in
+                         range(n_super * self.IMAGE_RENDER_SUPER_CHUNKS)])
         fn = self._jitted_image_render(statics, split_size)
         const = (jnp.asarray(pose, jnp.float32).reshape(4, 4),
                  jnp.asarray(intrinsics, jnp.float32).reshape(4, 4),
                  jnp.asarray(self.near, jnp.float32),
                  jnp.asarray(self.far, jnp.float32),
-                 jnp.asarray(self.window_weights), self._next_key())
+                 jnp.asarray(self.window_weights))
         variables = self.state.variables()
+        S = self.IMAGE_RENDER_SUPER_CHUNKS
         pending = []
         for s in range(n_super):
             block = uv[s * super_rays:(s + 1) * super_rays].reshape(
-                self.IMAGE_RENDER_SUPER_CHUNKS, split_size, 2)
-            pending.append(fn(variables, block, *const))
+                S, split_size, 2)
+            pending.append(fn(variables, block, keys[s * S:(s + 1) * S],
+                              *const))
         fetched = jax.device_get(pending)
         rgb = np.concatenate([r for r, _ in fetched])
         depth = np.concatenate([d for _, d in fetched])
