@@ -242,10 +242,12 @@ class TestMeshEval:
         out = model.render(pose, uv, intr, epoch=0)
         assert out["rgb"].shape == (n_rays, 3)
 
-    def test_render_images_mesh_branch_equals_scan_branch(self, tmp_path):
-        """``methods.render_images`` takes the per-chunk sharded path when
-        ``eval_mesh`` is set and the on-device scan path otherwise — the
-        written images must be identical."""
+    def test_render_images_sharded_equals_single_device(self, tmp_path):
+        """``methods.render_images`` scans chunks on device; with
+        ``eval_mesh`` set the blocks are ray-sharded over the mesh — the
+        written images must be identical to the single-device run, on
+        EVERY image (multi-image pins the cross-image key-chain
+        alignment; keys are not inert for argmax-0 rays)."""
         from vf_nerf_tpu.config.schema import DatasetConfig
         from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
         from vf_nerf_tpu.evaluation.methods import render_images
@@ -253,7 +255,7 @@ class TestMeshEval:
         from vf_nerf_tpu.utils import io as io_utils
 
         root = str(tmp_path)
-        ds = SyntheticBoxDataset(n_images=1, image_size=(8, 16),
+        ds = SyntheticBoxDataset(n_images=2, image_size=(8, 16),
                                  pixels_per_batch=32)
         ds.export_replica_format(root, scene="boxroom")
         ds_cfg = DatasetConfig(dataset_name="replica", data_dir="Replica",
@@ -263,14 +265,17 @@ class TestMeshEval:
 
         cfg = tiny_config(n_samples=12, n_importance=4, perturb=False)
         outs = {}
-        for name in ("scan", "mesh"):
+        for name in ("single", "mesh"):
             model = VectorFieldNerf(cfg, seed=7, decay_steps=100)
             model.eval()
             if name == "mesh":
                 model.enable_mesh_eval(mesh_lib.make_mesh(8))
             out_dir = os.path.join(root, f"evals_{name}")
             render_images(model, out_dir, ds_cfg, epoch=0, split_size=32)
-            outs[name] = io_utils.load_rgb(
-                os.path.join(out_dir, "rendered_images", "image-0.png"),
-                transpose=False)
-        np.testing.assert_array_equal(outs["scan"], outs["mesh"])
+            outs[name] = [io_utils.load_rgb(
+                os.path.join(out_dir, "rendered_images", f"image-{i}.png"),
+                transpose=False) for i in range(2)]
+        for i in range(2):
+            np.testing.assert_array_equal(outs["single"][i],
+                                          outs["mesh"][i],
+                                          err_msg=f"image-{i}")

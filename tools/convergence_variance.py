@@ -111,6 +111,24 @@ print("CHILD_RESULT " + json.dumps(out))
 """
 
 
+def run_child(workdir: str, conf_path: str, seed: int):
+    """Run one seeded train+metrics pass in a fresh subprocess (the
+    VFNERF_SEED hook is read at runner import) and return its parsed
+    CHILD_RESULT dict, or None on failure (stdout/stderr printed)."""
+    env = dict(os.environ, VFNERF_SEED=str(seed))
+    code = CHILD.format(repo=REPO, workdir=workdir, conf_path=conf_path,
+                        seed=seed)
+    proc = subprocess.run([sys.executable, "-c", code], text=True,
+                          capture_output=True, env=env)
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("CHILD_RESULT ")]
+    if proc.returncode != 0 or not line:
+        print(f"seed {seed} FAILED:\n{proc.stdout[-3000:]}\n"
+              f"{proc.stderr[-3000:]}", flush=True)
+        return None
+    return json.loads(line[0][len("CHILD_RESULT "):])
+
+
 def edge_breakdown(workdir: str, seed: int, n_images: int = 6,
                    image_size: Tuple[int, int] = (96, 128)):
     """Edge vs interior PSNR from the GT depth-gradient mask."""
@@ -175,21 +193,12 @@ def main() -> None:
     results = []
     for seed in args.seeds:
         print(f"== seed {seed} ==", flush=True)
-        env = dict(os.environ, VFNERF_SEED=str(seed))
-        code = CHILD.format(repo=REPO, workdir=args.workdir,
-                            conf_path=conf_path, seed=seed)
         t0 = time.perf_counter()
-        proc = subprocess.run([sys.executable, "-c", code], text=True,
-                              capture_output=True, env=env)
+        out = run_child(args.workdir, conf_path, seed)
         wall = time.perf_counter() - t0
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("CHILD_RESULT ")]
-        if proc.returncode != 0 or not line:
-            print(f"seed {seed} FAILED:\n{proc.stdout[-3000:]}\n"
-                  f"{proc.stderr[-3000:]}", flush=True)
+        if out is None:
             results.append({"seed": seed, "error": True})
             continue
-        out = json.loads(line[0][len("CHILD_RESULT "):])
         out["wall_s"] = round(wall, 1)
         out.update(edge_breakdown(args.workdir, seed))
         results.append(out)

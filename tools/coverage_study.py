@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 import shutil
-import subprocess
 import sys
 import time
 
@@ -24,7 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from convergence_variance import CHILD, export_scene, write_conf  # noqa: E402
+from convergence_variance import (export_scene, run_child,  # noqa: E402
+                                  write_conf)
 
 
 def main() -> None:
@@ -47,19 +47,11 @@ def main() -> None:
 
     print(f"== training seed 42 ({args.epochs} epochs x {args.views} "
           "steps) ==", flush=True)
-    env = dict(os.environ, VFNERF_SEED="42")
-    code = CHILD.format(repo=REPO, workdir=args.workdir,
-                        conf_path=conf_path, seed=42)
     t0 = time.perf_counter()
-    proc = subprocess.run([sys.executable, "-c", code], text=True,
-                          capture_output=True, env=env)
+    child = run_child(args.workdir, conf_path, seed=42)
     print(f"train+metrics wall: {time.perf_counter() - t0:.0f}s", flush=True)
-    lines = [ln for ln in proc.stdout.splitlines()
-             if ln.startswith("CHILD_RESULT ")]
-    if proc.returncode != 0 or not lines:
-        print(proc.stdout[-3000:], proc.stderr[-3000:])
+    if child is None:
         sys.exit(1)
-    child = json.loads(lines[0][len("CHILD_RESULT "):])
     print(json.dumps({k: v for k, v in child.items() if k != "per_image"}),
           flush=True)
 

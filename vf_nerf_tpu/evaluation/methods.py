@@ -54,46 +54,19 @@ def render_images(model: VectorFieldNerf,
         rgb_img = np.zeros((h, w, 3), np.float32)
         depth_img = np.zeros((h, w, 1), np.float32)
 
-        if getattr(model, "eval_mesh", None) is None:
-            # Whole image in ONE put + dispatch + fetch: the chunk loop
-            # runs as lax.scan inside the compiled program. The per-chunk
-            # facade path pays ~3 host→device puts per chunk through a
-            # remote-TPU relay (~100 ms/chunk vs 4 ms of compute) —
-            # measured 95 s/image at 680×1200 vs ~5 s this way.
-            rgb, depth = model.render_image(
-                batch["uv"], batch["pose"][0], batch["intrinsics"][0],
-                epoch, dataset.white_bkgd, split_size)
-            xs = batch["uv"][:, 0].astype(np.int64)
-            ys = batch["uv"][:, 1].astype(np.int64)
-            rgb_img[ys, xs] = rgb
-            depth_img[ys, xs] = depth
-        else:
-            # Mesh-sharded eval: per-chunk dispatch (rays sharded over
-            # chips), all chunks dispatched first, ONE fetch at the end.
-            pending = []
-            for start in range(0, n_pixels, split_size):
-                end = min(start + split_size, n_pixels)
-                sl = slice(start, end)
-                uv = batch["uv"][sl]
-                pose = batch["pose"][sl]
-                intr = batch["intrinsics"][sl]
-                pad = split_size - (end - start)
-                if pad:
-                    uv = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)])
-                    pose = np.concatenate(
-                        [pose, np.repeat(pose[-1:], pad, 0)])
-                    intr = np.concatenate(
-                        [intr, np.repeat(intr[-1:], pad, 0)])
-                out = model.render(pose, uv, intr, epoch,
-                                   dataset.white_bkgd)
-                pending.append((sl, end - start, out["rgb"], out["depth"]))
-
-            fetched = jax.device_get([(p[2], p[3]) for p in pending])
-            for (sl, n_valid, _, _), (rgb, depth) in zip(pending, fetched):
-                xs = batch["uv"][sl, 0].astype(np.int64)
-                ys = batch["uv"][sl, 1].astype(np.int64)
-                rgb_img[ys, xs] = rgb[:n_valid]
-                depth_img[ys, xs] = depth[:n_valid]
+        # Whole image in a handful of put+dispatch pairs and one fetch:
+        # the chunk loop runs as lax.scan inside the compiled program
+        # (ray-sharded over the eval mesh when one is enabled). The old
+        # per-chunk facade loop paid ~3 host→device puts per chunk
+        # through a remote-TPU relay (~100 ms/chunk vs 4 ms of compute) —
+        # measured 95 s/image at 680×1200 vs ~5 s this way.
+        rgb, depth = model.render_image(
+            batch["uv"], batch["pose"][0], batch["intrinsics"][0],
+            epoch, dataset.white_bkgd, split_size)
+        xs = batch["uv"][:, 0].astype(np.int64)
+        ys = batch["uv"][:, 1].astype(np.int64)
+        rgb_img[ys, xs] = rgb
+        depth_img[ys, xs] = depth
 
         io_utils.save_rgb(os.path.join(path, f"image-{i}.png"), rgb_img)
         io_utils.save_depth(os.path.join(path, f"depth-{i}"), depth_img[..., 0])

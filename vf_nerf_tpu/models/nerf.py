@@ -183,7 +183,7 @@ class VectorFieldNerf:
         # jit / sharding placement downstream stays free (the first
         # dispatch transfers the state once, then the returned device
         # arrays carry forward).
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             self._rng = jax.device_put(jax.random.PRNGKey(seed), cpu)
             key = self._next_key()
@@ -221,7 +221,7 @@ class VectorFieldNerf:
         self.eval_mesh = None
 
     # ------------------------------------------------------------------ rng
-    def _next_key(self) -> jax.Array:
+    def _next_key(self) -> np.ndarray:
         """Advance the model RNG and return a fresh key.
 
         The split runs pinned to the host CPU backend: it is an EAGER op,
@@ -231,7 +231,7 @@ class VectorFieldNerf:
         LR schedule, DEVELOPMENT.md). threefry is backend-deterministic,
         so the key values are identical; jitted consumers receive the
         key as a (tiny) host array input."""
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             self._rng, key = jax.random.split(jax.device_put(self._rng, cpu))
         # Return an UNCOMMITTED key (numpy): a cpu-committed jax.Array
@@ -374,8 +374,14 @@ class VectorFieldNerf:
         uv = np.asarray(pixels, np.float32)
         if pad:
             uv = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)])
-        keys = np.stack([self._next_key() for _ in
-                         range(n_super * self.IMAGE_RENDER_SUPER_CHUNKS)])
+        # EXACTLY the facade loop's key count — ceil(n / split) draws, one
+        # per REAL chunk — so the model RNG chain stays aligned with the
+        # per-chunk path across successive images; pad chunks (discarded)
+        # reuse the last real key.
+        n_real = -(-n // split_size)
+        n_total = n_super * self.IMAGE_RENDER_SUPER_CHUNKS
+        keys = [self._next_key() for _ in range(n_real)]
+        keys = np.stack(keys + [keys[-1]] * (n_total - n_real))
         fn = self._jitted_image_render(statics, split_size)
         const = (jnp.asarray(pose, jnp.float32).reshape(4, 4),
                  jnp.asarray(intrinsics, jnp.float32).reshape(4, 4),
@@ -384,10 +390,20 @@ class VectorFieldNerf:
                  jnp.asarray(self.window_weights))
         variables = self.state.variables()
         S = self.IMAGE_RENDER_SUPER_CHUNKS
+        # Multi-chip: shard each (S, split, 2) block's ray axis (axis 1)
+        # over the eval mesh — every render op is per-ray, so XLA runs the
+        # scan SPMD, bit-equal to single-device (tests/test_parallel.py).
+        mesh = getattr(self, "eval_mesh", None)
+        shard_block = None
+        if mesh is not None and split_size % mesh.devices.size == 0:
+            from vf_nerf_tpu.parallel import mesh as mesh_lib
+            shard_block = lambda b: mesh_lib.shard_stacked_batch(mesh, b)  # noqa: E731
         pending = []
         for s in range(n_super):
             block = uv[s * super_rays:(s + 1) * super_rays].reshape(
                 S, split_size, 2)
+            if shard_block is not None:
+                block = shard_block(block)
             pending.append(fn(variables, block, keys[s * S:(s + 1) * S],
                               *const))
         fetched = jax.device_get(pending)
