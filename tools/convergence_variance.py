@@ -104,6 +104,7 @@ with open(os.path.join(workdir, "evals", f"var{{seed}}_boxroom",
     metrics = json.load(f)
 out = {{"seed": seed, "train_s": round(train_s, 1),
         "eval_s": round(eval_s, 1), "n_compiled_steps": n_compiles,
+        "final_loss": runner.final_loss,
         "mean_psnr": metrics["mean_psnr"],
         "per_image": {{k: v["psnr"] for k, v in metrics.items()
                        if k.startswith("image-")}}}}
@@ -132,16 +133,24 @@ def run_child(workdir: str, conf_path: str, seed: int):
 def edge_breakdown(workdir: str, seed: int, n_images: int = 6,
                    image_size: Tuple[int, int] = (96, 128)):
     """Edge vs interior PSNR from the GT depth-gradient mask."""
-    import numpy as np
-
     from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
-    from vf_nerf_tpu.utils import io as io_utils
 
     ds = SyntheticBoxDataset(n_images=n_images, image_size=image_size,
                              pixels_per_batch=1024)
-    h, w = ds.image_size
     img_dir = os.path.join(workdir, "evals", f"var{seed}_boxroom",
                            "run_latest", "rendered_images")
+    return edge_breakdown_ds(ds, img_dir)
+
+
+def edge_breakdown_ds(ds, img_dir: str):
+    """Edge vs interior PSNR for any synthetic dataset with GT depth
+    (edge mask = GT depth-gradient magnitude, dilated 1 px)."""
+    import numpy as np
+
+    from vf_nerf_tpu.utils import io as io_utils
+
+    n_images = ds.n_images
+    h, w = ds.image_size
     # Pixel-weighted sums across all views: a view with no depth edges
     # contributes nothing to the edge bucket instead of a NaN per-image mean.
     edge_sum = interior_sum = 0.0
@@ -213,9 +222,35 @@ def main() -> None:
                "median": float(np.median(psnrs)),
                "min": float(np.min(psnrs)), "max": float(np.max(psnrs)),
                "std": float(np.std(psnrs))}
+        agg.update(apply_cohort_gate(results))
         print("AGGREGATE " + json.dumps(agg), flush=True)
         with open(os.path.join(args.workdir, "variance.json"), "w") as f:
             json.dump({"runs": results, "aggregate": agg}, f, indent=2)
+
+
+def apply_cohort_gate(results, margin: float = 1.2):
+    """Automated non-convergence gate (VERDICT r3 #6, cohort form): flag
+    every run whose final train loss sits > ``margin``× the cohort median
+    and recommend re-seeding. Mutates each run dict with a ``flagged`` key;
+    returns the aggregate fields."""
+    import numpy as np
+
+    losses = [r.get("final_loss") for r in results]
+    valid = [l for l in losses if l is not None]
+    if not valid:
+        return {}
+    median = float(np.median(valid))
+    flagged = []
+    for r in results:
+        loss = r.get("final_loss")
+        r["flagged"] = bool(loss is not None and loss > margin * median)
+        if r["flagged"]:
+            flagged.append(r.get("seed"))
+            print(f"NON-CONVERGENCE GATE: seed {r.get('seed')} final loss "
+                  f"{loss:.6g} > {margin}x cohort median {median:.6g} — "
+                  "recommend re-seeding (VFNERF_SEED)", flush=True)
+    return {"cohort_median_loss": median, "gate_margin": margin,
+            "flagged_seeds": flagged}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,191 @@
+"""Full reference protocol on the hard synthetic office scene (VERDICT r3 #2).
+
+The office (``vf_nerf_tpu/datasets/synthetic.py::SyntheticOfficeDataset``) is
+the closest available stand-in for Replica ``office0``
+(``/root/reference/datasets/normal_datasets/replica_dataset.py:19``): a
+non-convex L-shaped room, a floor-standing column, a thin free-standing wall
+(0.06 scene units — sub-voxel at MC res 64, hence the higher default
+resolution here) and a low desk, all with per-object high-frequency texture.
+
+Protocol = the reference training recipe end to end: export scene in Replica
+format → generic ``exterior_scene`` VF init (NOT the office's own analytic
+field — occluders must be discovered by training, as they would be on real
+data) → full 256-wide train (seed 42, static fine growth) → render-images +
+PSNR → quadrant marching cubes → TSDF fusion (+refuse/smoothing variants) →
+Chamfer / precision / recall / F-score. Adds the edge-vs-interior PSNR
+breakdown and a per-object-group PSNR breakdown so failures localize.
+
+Writes <workdir>/office.json; copy to results/office_r4.json for the record.
+
+Usage: python tools/office_protocol.py [--views 24] [--size 240 320]
+       [--epochs 2000] [--resolution 128] [--workdir /tmp/vf_office]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from convergence_variance import edge_breakdown_ds, write_conf  # noqa: E402
+
+
+def export_office(workdir, n_images, image_size, pitch):
+    import pickle
+
+    import numpy as np
+
+    from vf_nerf_tpu.datasets.synthetic import SyntheticOfficeDataset
+    from vf_nerf_tpu.train.vf_init import default_vf_config, fit_vf_init
+
+    ds = SyntheticOfficeDataset(n_images=n_images, image_size=image_size,
+                                pixels_per_batch=1024, pitch_range=pitch)
+    ds.export_replica_format(workdir, scene="office")
+    wall_radius = ds.max_depth * 1.25 / 2.0
+    params, stats = fit_vf_init(default_vf_config(), "exterior_scene",
+                                np.zeros(3),
+                                sample_extent=1.5 * wall_radius,
+                                wall_radius=wall_radius, steps=800,
+                                batch=8192, seed=0)
+    with open(os.path.join(workdir, "Replica", "office", "office.pkl"),
+              "wb") as f:
+        pickle.dump({"params": params, "batch_stats": stats}, f)
+    return ds
+
+
+def group_psnr_breakdown(ds, img_dir):
+    """Per-object-group PSNR: which surfaces (walls / block / column /
+    thin wall / desk) carry the error."""
+    import numpy as np
+
+    from vf_nerf_tpu.datasets.base import pixel_grid
+    from vf_nerf_tpu.datasets.synthetic import trace_rects
+    from vf_nerf_tpu.utils import io as io_utils
+
+    names = ["walls", "floor", "ceiling", "corner_block", "column",
+             "thin_wall", "desk"]
+    h, w = ds.image_size
+    uv = pixel_grid(h, w)
+    fx, fy = ds.intrinsics[0, 0], ds.intrinsics[1, 1]
+    cx, cy = ds.intrinsics[0, 2], ds.intrinsics[1, 2]
+    dirs_cam = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                         np.ones(h * w)], axis=-1)
+    sums = np.zeros(len(names))
+    cnts = np.zeros(len(names), np.int64)
+    for i, pose in enumerate(ds.poses):
+        dirs = dirs_cam @ pose[:3, :3].T
+        _, group = trace_rects(pose[:3, 3][None], dirs, ds.rects)
+        gt = ds.rgb_images[i].reshape(h, w, 3)
+        pred = io_utils.load_rgb(os.path.join(img_dir, f"image-{i}.png"),
+                                 transpose=False)
+        sq = ((pred - gt) ** 2).mean(axis=-1).reshape(-1)
+        for g in range(len(names)):
+            m = group == g
+            sums[g] += float(sq[m].sum())
+            cnts[g] += int(m.sum())
+    out = {}
+    for g, name in enumerate(names):
+        if cnts[g]:
+            mse = max(sums[g] / cnts[g], 1e-12)
+            out[name] = {"psnr": float(-10.0 * np.log10(mse)),
+                         "pixel_frac": float(cnts[g] / cnts.sum())}
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--views", type=int, default=24)
+    parser.add_argument("--size", type=int, nargs=2, default=[240, 320])
+    parser.add_argument("--pitch", type=float, default=1.1)
+    parser.add_argument("--epochs", type=int, default=2000)
+    parser.add_argument("--resolution", type=int, default=128,
+                        help="MC grid resolution (thin wall is sub-voxel "
+                             "at 64)")
+    parser.add_argument("--workdir", type=str, default="/tmp/vf_office")
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    if os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir)
+
+    print(f"== exporting office ({args.views} views @ {args.size}) "
+          "+ generic vf-init ==", flush=True)
+    ds = export_office(args.workdir, args.views, tuple(args.size),
+                       args.pitch)
+    conf_path = write_conf(args.workdir, args.epochs)
+
+    print(f"== training seed {args.seed} ({args.epochs} epochs x "
+          f"{args.views} steps) ==", flush=True)
+    os.environ["VFNERF_SEED"] = str(args.seed)
+    from vf_nerf_tpu.config.parser import parse_config
+    from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+    t0 = time.perf_counter()
+    config = parse_config(scene="office", config_path=conf_path,
+                          expname="office", timestamp="run",
+                          data_root_dir=args.workdir, offline=True)
+    runner = VectorFieldNerfRunner(config)
+    runner.train()
+    train_s = time.perf_counter() - t0
+    final_loss = runner.final_loss
+    print(f"train wall: {train_s:.0f}s  final loss: {final_loss}",
+          flush=True)
+
+    from vf_nerf_tpu.evaluation.evaluate import evaluate
+    config2 = parse_config(scene="office", config_path=conf_path,
+                           expname="office", timestamp="run",
+                           checkpoint="latest", data_root_dir=args.workdir,
+                           offline=True)
+    eval_root = os.path.join(args.workdir, "evals")
+    timings = {}
+    for method in ("metrics", "3d-metrics"):
+        t0 = time.perf_counter()
+        evaluate(config2, method=method, resolution=args.resolution,
+                 eval_root_folder=eval_root, chunk_size=1024,
+                 distance_thresh=0.05, num_quadrants=8)
+        timings[method] = round(time.perf_counter() - t0, 1)
+        print(f"{method}: {timings[method]}s", flush=True)
+
+    out_dir = os.path.join(eval_root, "office_office", "run_latest")
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    with open(os.path.join(out_dir, "3d-metrics.json")) as f:
+        m3d = json.load(f)
+
+    img_dir = os.path.join(out_dir, "rendered_images")
+    summary = {
+        "note": ("full protocol on the non-convex synthetic office "
+                 "(tools/office_protocol.py): L-shaped room + column + "
+                 "thin free-standing wall + desk, per-object textures, "
+                 "generic exterior_scene VF init"),
+        "views": args.views, "image_size": args.size,
+        "epochs": args.epochs, "seed": args.seed,
+        "mc_resolution": args.resolution,
+        "train_wall_s": round(train_s, 1),
+        "train_rays_per_sec": round(
+            args.epochs * args.views * 1024 / train_s, 1),
+        "final_epoch_loss": final_loss,
+        "mean_psnr": metrics["mean_psnr"],
+        "per_image_psnr": {k: v["psnr"] for k, v in metrics.items()
+                           if k.startswith("image-")},
+        "edge_breakdown": edge_breakdown_ds(ds, img_dir),
+        "group_psnr": group_psnr_breakdown(ds, img_dir),
+        "metrics_3d": m3d,
+        "eval_wall_s": timings,
+    }
+    with open(os.path.join(args.workdir, "office.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    brief = {k: summary[k] for k in ("mean_psnr", "train_wall_s")}
+    brief["fscore_tsdf"] = m3d.get("tsdf", {}).get("fscore")
+    print("OFFICE_SUMMARY " + json.dumps(brief), flush=True)
+    print(f"full summary: {os.path.join(args.workdir, 'office.json')}")
+
+
+if __name__ == "__main__":
+    main()
