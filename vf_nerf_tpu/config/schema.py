@@ -260,6 +260,13 @@ class VFRunnerConfig:
 
     offline: bool = False
 
+    # Non-convergence gate (PARITY.md protocol, automated): if > 0 and the
+    # final train loss exceeds it, the runner flags the run in its log and
+    # in <run_dir>/convergence.json and recommends re-seeding. Typically set
+    # to 1.2× a cohort median (tools/convergence_variance.py computes the
+    # cohort form automatically).
+    convergence_loss_threshold: float = 0.0
+
 
 def asdict_config(cfg: Any) -> Any:
     """Recursively convert a config dataclass tree to plain dicts for logging."""

@@ -23,10 +23,11 @@ data mesh (the batch is trimmed to a device-count multiple).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -166,6 +167,7 @@ class VectorFieldNerfRunner:
         self._step_cache: Dict[Any, Any] = {}
         self._epoch_rng = np.random.RandomState(SEED)
         self._timer = StepTimer()
+        self.final_loss: Optional[float] = None
         maybe_enable_nan_debugging()
 
     # ------------------------------------------------------------- folders
@@ -354,6 +356,32 @@ class VectorFieldNerfRunner:
             self._train_per_step()
         cfg.start_epoch = cfg.num_epochs + 1
         self.model.save(cfg.num_epochs - 1, self.ckpt_dir)
+        self._write_convergence_flag()
+
+    def _write_convergence_flag(self) -> None:
+        """Non-convergence gate (VERDICT r3 #6, automating the PARITY.md
+        protocol): compare the final train loss against the configured
+        threshold (typically 1.2× a cohort median; 0 disables) and record
+        the verdict in ``<run_dir>/convergence.json`` — always written, so
+        every run artifact carries it. On a flag, also warn in the log and
+        recommend re-seeding (the r3 variance study showed a bad seed is
+        train-loss-detectable: 0.00615 vs cohort 0.00478)."""
+        thr = getattr(self.config, "convergence_loss_threshold", 0.0)
+        flagged = bool(thr and self.final_loss is not None
+                       and self.final_loss > thr)
+        payload = {"final_loss": self.final_loss,
+                   "threshold": thr if thr else None,
+                   "flagged": flagged}
+        if flagged:
+            payload["recommendation"] = (
+                "final train loss exceeds the convergence threshold — "
+                "likely a bad seed (PARITY.md variance study); re-run with "
+                "a different VFNERF_SEED")
+            print(f"WARNING: non-convergence gate: final loss "
+                  f"{self.final_loss:.6g} > threshold {thr:.6g}; "
+                  "recommend re-seeding (VFNERF_SEED)", flush=True)
+        with open(os.path.join(self.run_dir, "convergence.json"), "w") as f:
+            json.dump(payload, f, indent=1)
 
     def _train_per_step(self) -> None:
         """One dispatch per step (steps_per_dispatch=1) with the prefetch
@@ -617,6 +645,7 @@ class VectorFieldNerfRunner:
             avg["rays_per_sec"] = (acc["expected"] * n_rays /
                                    max(acc["elapsed"], 1e-9))
             self.logger.log(avg, step=e)
+            self.final_loss = avg.get("loss", self.final_loss)
             print(f"Epoch {e}: Loss {avg.get('loss')}")
             del self._span_accum[e]
 
@@ -747,4 +776,5 @@ class VectorFieldNerfRunner:
             elapsed = now - (prev if prev is not None else pending["t0"])
             averages["rays_per_sec"] = count * self._batch_rays() / elapsed
         self.logger.log(averages, step=pending["epoch"])
+        self.final_loss = averages.get("loss", self.final_loss)
         return pending["epoch"], averages.get("loss", float("nan"))
