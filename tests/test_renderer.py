@@ -1,6 +1,7 @@
 """Renderer tests: shapes, determinism, coarse-only path, density glue parity."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -409,3 +410,56 @@ class TestRenderImage:
 
         np.testing.assert_allclose(rgb_scan, rgb_chunk, atol=1e-6)
         np.testing.assert_allclose(depth_scan, depth_chunk, atol=1e-6)
+
+
+class TestRenderImagesPipelined:
+    def test_pipelined_equals_serial(self, tmp_path, monkeypatch):
+        """``render_images`` double-buffers (image i+1 dispatches before
+        image i's fetch). The RNG chain follows DISPATCH order, which is
+        unchanged, so outputs must stay bit-equal to serially fetched
+        per-image ``render_image`` calls on an identically seeded model."""
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.evaluation import methods
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+
+        cfg = tiny_config(perturb=False)
+
+        def factory(c):
+            return SyntheticBoxDataset(config=c, n_images=3,
+                                       image_size=(8, 12))
+
+        monkeypatch.setitem(methods.dataset_dict, "synthetic", factory)
+        dcfg = DatasetConfig(dataset_name="synthetic", data_dir="",
+                             shuffle_views=False, pixels_per_batch=32,
+                             scene="box", data_root_dir="", factor=1,
+                             all_pixels=True)
+
+        model = VectorFieldNerf(cfg, seed=0)
+        model.eval()
+        methods.render_images(model, str(tmp_path), dcfg, epoch=0,
+                              split_size=40)
+
+        ds = factory(dcfg)
+        ds.all_pixels = True
+        model2 = VectorFieldNerf(cfg, seed=0)
+        model2.eval()
+        model2.near, model2.far = ds.get_bounds()
+        h, w = ds.image_size
+        img_dir = os.path.join(str(tmp_path), "rendered_images")
+        for i in range(3):
+            batch = ds[i]
+            rgb, depth = model2.render_image(
+                batch["uv"], batch["pose"][0], batch["intrinsics"][0],
+                0, split_size=40)
+            depth_img = np.zeros((h, w), np.float32)
+            rgb_img = np.zeros((h, w, 3), np.float32)
+            xs = batch["uv"][:, 0].astype(np.int64)
+            ys = batch["uv"][:, 1].astype(np.int64)
+            rgb_img[ys, xs] = rgb
+            depth_img[ys, xs] = depth[:, 0]
+            saved_depth = np.load(os.path.join(img_dir, f"depth-{i}.npy"))
+            np.testing.assert_array_equal(saved_depth, depth_img)
+            from vf_nerf_tpu.utils import io as io_utils
+            saved_rgb = io_utils.load_rgb(
+                os.path.join(img_dir, f"image-{i}.png"), transpose=False)
+            np.testing.assert_allclose(saved_rgb, rgb_img, atol=1.01 / 255)

@@ -48,28 +48,40 @@ def render_images(model: VectorFieldNerf,
     io_utils.mkdir_ifnotexists(path)
 
     h, w = dataset.image_size
-    for i in range(len(dataset)):
-        batch = dataset[i]
-        n_pixels = batch["uv"].shape[0]
+
+    def finish(i, batch, handle):
+        rgb, depth = model.render_image_fetch(handle)
         rgb_img = np.zeros((h, w, 3), np.float32)
         depth_img = np.zeros((h, w, 1), np.float32)
-
-        # Whole image in a handful of put+dispatch pairs and one fetch:
-        # the chunk loop runs as lax.scan inside the compiled program
-        # (ray-sharded over the eval mesh when one is enabled). The old
-        # per-chunk facade loop paid ~3 host→device puts per chunk
-        # through a remote-TPU relay (~100 ms/chunk vs 4 ms of compute) —
-        # measured 95 s/image at 680×1200 vs ~5 s this way.
-        rgb, depth = model.render_image(
-            batch["uv"], batch["pose"][0], batch["intrinsics"][0],
-            epoch, dataset.white_bkgd, split_size)
         xs = batch["uv"][:, 0].astype(np.int64)
         ys = batch["uv"][:, 1].astype(np.int64)
         rgb_img[ys, xs] = rgb
         depth_img[ys, xs] = depth
-
         io_utils.save_rgb(os.path.join(path, f"image-{i}.png"), rgb_img)
-        io_utils.save_depth(os.path.join(path, f"depth-{i}"), depth_img[..., 0])
+        io_utils.save_depth(os.path.join(path, f"depth-{i}"),
+                            depth_img[..., 0])
+
+    # Whole image in a handful of put+dispatch pairs and one fetch: the
+    # chunk loop runs as lax.scan inside the compiled program (ray-sharded
+    # over the eval mesh when one is enabled). The old per-chunk facade
+    # loop paid ~3 host→device puts per chunk through a remote-TPU relay
+    # (~100 ms/chunk vs 4 ms of compute) — measured 95 s/image at 680×1200
+    # vs ~5 s this way. Images are double-buffered: image i+1 dispatches
+    # BEFORE image i's fetch, so the ~0.5 s host fetch + PNG encode of
+    # each image overlaps the next one's device compute (VERDICT r3 #5;
+    # the RNG chain follows dispatch order, so outputs stay bit-equal to
+    # the serial path — tests/test_renderer.py).
+    prev = None
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        handle = model.render_image_async(
+            batch["uv"], batch["pose"][0], batch["intrinsics"][0],
+            epoch, dataset.white_bkgd, split_size)
+        if prev is not None:
+            finish(*prev)
+        prev = (i, batch, handle)
+    if prev is not None:
+        finish(*prev)
 
 
 def metrics(model: VectorFieldNerf,

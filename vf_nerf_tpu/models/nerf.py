@@ -349,21 +349,31 @@ class VectorFieldNerf:
     def render_image(self, pixels, pose, intrinsics, epoch: int,
                      white: bool = False, split_size: int = 1024
                      ) -> Tuple[np.ndarray, np.ndarray]:
-        """Render ALL of an image's rays in a handful of device dispatches.
+        """Render ALL of an image's rays: dispatch + fetch in one call."""
+        return self.render_image_fetch(self.render_image_async(
+            pixels, pose, intrinsics, epoch, white, split_size))
+
+    def render_image_async(self, pixels, pose, intrinsics, epoch: int,
+                           white: bool = False, split_size: int = 1024
+                           ) -> Dict[str, Any]:
+        """Dispatch ALL of an image's rays; fetch later with
+        ``render_image_fetch`` (double-buffering: the caller can dispatch
+        the NEXT image before fetching this one, overlapping the ~0.5 s
+        host fetch + image encode with device compute — VERDICT r3 #5).
 
         :param pixels: (N, 2) pixel coords; ``pose``/``intrinsics`` one
             (4, 4) each (constant across an image — per-ray copies would
             make the transfer 17× larger for no information).
-        :return: numpy (N, 3) rgb and (N, 1) depth.
 
         Super-chunks (``IMAGE_RENDER_SUPER_CHUNKS`` × ``split_size`` rays)
-        are dispatched back-to-back (they pipeline through the relay) and
-        fetched once at the end. Each chunk consumes the SAME per-chunk
-        key the facade loop would draw (one ``_next_key()`` per chunk —
-        the range-fine sampler uses uniform-random depths for argmax-0
-        rays even with ``perturb=False``, so keys are NOT inert), making
-        the outputs bit-equal to per-chunk ``render`` calls
-        (``tests/test_renderer.py``).
+        are dispatched back-to-back (they pipeline through the relay).
+        Each chunk consumes the SAME per-chunk key the facade loop would
+        draw (one ``_next_key()`` per chunk — the range-fine sampler uses
+        uniform-random depths for argmax-0 rays even with
+        ``perturb=False``, so keys are NOT inert), making the outputs
+        bit-equal to per-chunk ``render`` calls
+        (``tests/test_renderer.py``); dispatch order (not fetch order)
+        defines the RNG chain, so pipelined callers stay aligned.
         """
         self.update_annealing(epoch)
         statics = self.render_statics(white_background=white)
@@ -406,7 +416,15 @@ class VectorFieldNerf:
                 block = shard_block(block)
             pending.append(fn(variables, block, keys[s * S:(s + 1) * S],
                               *const))
-        fetched = jax.device_get(pending)
+        return {"pending": pending, "n": n}
+
+    @staticmethod
+    def render_image_fetch(handle: Dict[str, Any]
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch a ``render_image_async`` dispatch → numpy (N, 3) rgb and
+        (N, 1) depth (one hard host sync per image)."""
+        fetched = jax.device_get(handle["pending"])
+        n = handle["n"]
         rgb = np.concatenate([r for r, _ in fetched])
         depth = np.concatenate([d for _, d in fetched])
         return rgb[:n], depth[:n]
