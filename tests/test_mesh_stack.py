@@ -309,3 +309,100 @@ class TestRefuse:
         assert len(rv) > 50
         dist_to_wall = np.abs(np.abs(rv).max(axis=1) - 1.0)
         assert np.median(dist_to_wall) < 0.06
+
+
+class TestClassicTriTableFlag:
+    """Flag-gated exact classic triangle table (VERDICT r3 #7): default
+    extraction keeps the generated table; VFNERF_CLASSIC_MC_TABLE=1 swaps in
+    the classic constant for triangle-identical diffs against
+    reference-produced meshes."""
+
+    @staticmethod
+    def _sphere_cells(res=10, r=0.8):
+        """All cells of a res³ grid over [-1.2, 1.2]³ with a sphere SDF."""
+        from vf_nerf_tpu.evaluation.mc.tables import CORNER_OFFSETS
+        idx = np.stack(np.meshgrid(*[np.arange(res)] * 3,
+                                   indexing="ij"), -1).reshape(-1, 3)
+        corners = idx[:, None, :] + CORNER_OFFSETS[None]
+        gv = corners / res * 2.4 - 1.2
+        vv = np.linalg.norm(gv, axis=-1) - r
+        return gv.astype(np.float64), vv.astype(np.float64)
+
+    def test_classic_table_bitexact_vs_reference(self):
+        if not reference_available():
+            pytest.skip("reference not mounted")
+        add_reference_to_path()
+        import evaluation.utils.marching_cubes_lookup as ref
+
+        from vf_nerf_tpu.evaluation.mc.classic_tables import \
+            CLASSIC_TRI_TABLE
+        np.testing.assert_array_equal(CLASSIC_TRI_TABLE,
+                                      np.asarray(ref.TRI_TABLE))
+
+    def test_classic_table_topology_equals_generated(self):
+        from vf_nerf_tpu.evaluation.mc.classic_tables import \
+            CLASSIC_TRI_TABLE
+        for c in range(256):
+            ours = int((TRI_TABLE[c] >= 0).sum())
+            classic = int((CLASSIC_TRI_TABLE[c] >= 0).sum())
+            assert ours == classic, f"config {c}: {ours} vs {classic}"
+            # classic tris also only reference cut edges
+            for e in CLASSIC_TRI_TABLE[c][CLASSIC_TRI_TABLE[c] >= 0]:
+                assert (EDGE_TABLE[c] >> e) & 1
+
+    def test_flagged_soup_is_classic_bitexact(self, monkeypatch):
+        """Under the flag, both emission paths produce the EXACT triangle
+        soup a direct classic-table gather gives on a shared fixture grid."""
+        from vf_nerf_tpu.evaluation.mc import contrastive
+        from vf_nerf_tpu.evaluation.mc.classic_tables import (
+            CLASSIC_TRI_TABLE, FLAG)
+
+        gv, vv = self._sphere_cells()
+        monkeypatch.setenv(FLAG, "1")
+        soup_native = contrastive.emit_triangles(gv, vv, 0.0)
+        soup_numpy = contrastive.emit_triangles_numpy(gv, vv, 0.0)
+        np.testing.assert_array_equal(soup_native, soup_numpy)
+
+        # Manual classic emission: same interpolation, classic gather.
+        inside = (vv < 0.0).astype(np.int64)
+        config = (inside * (1 << np.arange(8))[None, :]).sum(axis=1)
+        active = EDGE_TABLE[config] != 0
+        gva, vva, cfg = gv[active], vv[active], config[active]
+        from vf_nerf_tpu.evaluation.mc.contrastive import _EDGE_SWAP
+        from vf_nerf_tpu.evaluation.mc.tables import EDGE_VERTEX
+        ev0, ev1 = EDGE_VERTEX[:, 0], EDGE_VERTEX[:, 1]
+        p1, p2 = gva[:, ev0], gva[:, ev1]
+        v1, v2 = vva[:, ev0], vva[:, ev1]
+        swap = _EDGE_SWAP[None, :]
+        pa = np.where(swap[..., None], p2, p1)
+        pb = np.where(swap[..., None], p1, p2)
+        va = np.where(swap, v2, v1)
+        vb = np.where(swap, v1, v2)
+        denom = vb - va
+        deg = np.abs(denom) <= 1e-5
+        t = np.where(deg, 0.0, (0.0 - va) / np.where(deg, 1.0, denom))
+        cut = pa + t[..., None] * (pb - pa)
+        tri_edges = CLASSIC_TRI_TABLE[cfg][:, :15].reshape(-1, 5, 3)
+        valid = tri_edges[:, :, 0] >= 0
+        rows = np.arange(cut.shape[0])[:, None, None]
+        manual = cut[rows, np.maximum(tri_edges, 0)][valid]
+        np.testing.assert_array_equal(soup_numpy, manual)
+
+    def test_flag_off_same_geometry_different_fans(self, monkeypatch):
+        """Default (generated) table: identical vertex set after dedup,
+        same triangle count, but not the identical soup."""
+        from vf_nerf_tpu.evaluation.mc import contrastive
+        from vf_nerf_tpu.evaluation.mc.classic_tables import FLAG
+
+        gv, vv = self._sphere_cells()
+        monkeypatch.delenv(FLAG, raising=False)
+        soup_gen = contrastive.emit_triangles_numpy(gv, vv, 0.0)
+        monkeypatch.setenv(FLAG, "1")
+        soup_classic = contrastive.emit_triangles_numpy(gv, vv, 0.0)
+        assert soup_gen.shape == soup_classic.shape
+        assert not np.array_equal(soup_gen, soup_classic)
+        v_gen, _ = contrastive.dedup_mesh(soup_gen)
+        v_cls, _ = contrastive.dedup_mesh(soup_classic)
+        np.testing.assert_array_equal(
+            np.unique(v_gen.round(9), axis=0),
+            np.unique(v_cls.round(9), axis=0))

@@ -75,7 +75,19 @@ def combs_to_vert_values(comb_values: np.ndarray,
 _EDGE_TABLE_I32 = np.ascontiguousarray(EDGE_TABLE, np.int32)
 _EDGE_VERTEX_I32 = np.ascontiguousarray(EDGE_VERTEX, np.int32)
 _EDGE_SWAP_I32 = np.ascontiguousarray(_EDGE_SWAP, np.int32)
-_TRI_TABLE_I32 = np.ascontiguousarray(TRI_TABLE, np.int32)
+
+
+def _active_tri_table() -> np.ndarray:
+    """Triangle table for this extraction: the generated one by default;
+    the classic constant (bit-equal to the reference's embedded table)
+    under ``VFNERF_CLASSIC_MC_TABLE=1`` for triangle-identical mesh diffs
+    against reference-produced .ply files (VERDICT r3 #7). Both share the
+    (unique) EDGE_TABLE; only fan orders differ."""
+    from vf_nerf_tpu.evaluation.mc.classic_tables import (
+        CLASSIC_TRI_TABLE, use_classic_tri_table)
+    if use_classic_tri_table():
+        return CLASSIC_TRI_TABLE
+    return TRI_TABLE
 
 
 def emit_triangles(grid_verts: np.ndarray,
@@ -103,12 +115,13 @@ def emit_triangles(grid_verts: np.ndarray,
             ctypes.POINTER(ctypes.c_int32))
         gv = np.ascontiguousarray(grid_verts, np.float64)
         vv = np.ascontiguousarray(vert_values, np.float64)
+        tri_i32 = np.ascontiguousarray(_active_tri_table(), np.int32)
         out = np.empty((5 * m, 3, 3), np.float64)
         n = lib.emit_mc_triangles(
             dptr(gv), dptr(vv), ctypes.c_int64(m),
             ctypes.c_double(isovalue), iptr(_EDGE_TABLE_I32),
             iptr(_EDGE_VERTEX_I32), iptr(_EDGE_SWAP_I32),
-            iptr(_TRI_TABLE_I32), dptr(out))
+            iptr(tri_i32), dptr(out))
         return out[:n]
     return emit_triangles_numpy(grid_verts, vert_values, isovalue)
 
@@ -148,7 +161,7 @@ def emit_triangles_numpy(grid_verts: np.ndarray,
                  (isovalue - va) / np.where(degenerate, 1.0, denom))
     edge_cut = pa + t[..., None] * (pb - pa)   # (M', 12, 3)
 
-    tri_edges = TRI_TABLE[config][:, :15].reshape(-1, 5, 3)  # (M', 5, 3)
+    tri_edges = _active_tri_table()[config][:, :15].reshape(-1, 5, 3)
     valid = tri_edges[:, :, 0] >= 0                          # (M', 5)
     safe = np.maximum(tri_edges, 0)
     rows = np.arange(edge_cut.shape[0])[:, None, None]
