@@ -22,3 +22,17 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import sys
+from pathlib import Path
+
+# tools/ holds study drivers whose pure helpers are unit-tested
+# (convergence gate, joint-efficacy pose metrics).
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: minutes-long protocol tests (deselect with -m 'not slow')")
