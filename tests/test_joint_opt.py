@@ -218,3 +218,123 @@ joint_optimization {
         rtr = refined[:, :3, :3] @ refined[:, :3, :3].transpose(0, 2, 1)
         np.testing.assert_allclose(rtr, np.tile(np.eye(3), (3, 1, 1)),
                                    atol=1e-4)
+
+
+class TestJointEfficacy:
+    """VERDICT r3 #3 (small scale): perturbed poses RECOVER through the
+    joint stage, not just receive gradients. A field is trained on GT
+    poses (the 150-epoch tiny protocol — depth error ~0.014, PSNR ~35),
+    poses are perturbed by a measurable amount, and the joint stage with
+    the pose-refinement schedule (``pose_lr`` + ``pose_only_epochs``
+    warmup; rgb+depth alignment weights, field-shaping sim/unit terms off)
+    must cut both rotation and translation error substantially. Findings
+    that shaped the knobs (measured in this experiment's development):
+    a shared single-lr adam lets the field absorb the miscalibration
+    (errors *grew* 4°→7.5°); with the field frozen during warmup the same
+    50 epochs recover 4°→0.7°, 0.08→0.03."""
+
+    def _build_eff(self, tmp_path, joint_epochs=60, main_epochs=300):
+        from test_e2e import TINY_CONF
+        from vf_nerf_tpu.config.joint_parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+
+        root = str(tmp_path)
+        ds = SyntheticBoxDataset(n_images=3, image_size=(12, 16),
+                                 pixels_per_batch=96)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        conf = TINY_CONF.replace(
+            "EXPS_PLACEHOLDER", os.path.join(root, "exps_vf_nerf"))
+        conf = conf.replace("num_epochs = 3", f"num_epochs = {main_epochs}")
+        conf = conf.replace("save_frequency = 2", "save_frequency = 100")
+        # Alignment-driving supervised weights for the joint stage: rgb +
+        # depth pull poses toward GT; the field-shaping similarity /
+        # unit-norm terms create pose-irrelevant gradients and are off.
+        conf = conf.replace(
+            "    rgb = 0.0\n    depth = 0.5\n    unit_norm = 0.1\n"
+            "    similarity = 1.0",
+            "    rgb = 1.0\n    depth = 0.5\n    unit_norm = 0.0\n"
+            "    similarity = 0.0")
+        with open(conf_path, "w") as f:
+            f.write(conf)
+        joint_conf = os.path.join(root, "joint.conf")
+        with open(joint_conf, "w") as f:
+            f.write(f"""
+train {{
+    initial_training_epochs = 0
+    supervised_vf_epochs = 0
+    joint_epochs = {joint_epochs}
+    supervise_every = {joint_epochs + 1}
+    supervision_epochs = 0
+    refinement_init_lr = 1e-3
+    reset_scheduler = False
+    pose_lr = 1e-2
+    pose_only_epochs = {joint_epochs}
+}}
+joint_optimization {{
+    save_frequency = 1000000
+    num_bases = 6
+    decimation = 1.0
+    self_supervise = True
+}}
+""")
+        return conf_path, joint_conf, root
+
+    @pytest.mark.slow
+    def test_perturbed_poses_recover(self, tmp_path):
+        import pickle
+        import shutil
+
+        from joint_efficacy import perturb_poses, pose7_errors
+        from vf_nerf_tpu.config.joint_parser import parse_config
+        from vf_nerf_tpu.config.parser import parse_config as parse_vf
+        from vf_nerf_tpu.ops.rays import matrix_to_pose7
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+        from vf_nerf_tpu.train.vf_init import fit_vf_init
+
+        conf_path, joint_conf, root = self._build_eff(tmp_path)
+
+        # Main stage on GT poses (vf-init from the generic radial field).
+        vf_cfg_main = parse_vf(scene="boxroom", config_path=conf_path,
+                               expname="eff", timestamp="run",
+                               data_root_dir=root, offline=True)
+        params, stats = fit_vf_init(
+            vf_cfg_main.vf_nerf_config.vf_net_config, "exterior_scene",
+            np.zeros(3), sample_extent=2.6, wall_radius=2.0, steps=200,
+            batch=2048, seed=0)
+        with open(os.path.join(root, "Replica", "boxroom", "boxroom.pkl"),
+                  "wb") as f:
+            pickle.dump({"params": params, "batch_stats": stats}, f)
+        VectorFieldNerfRunner(vf_cfg_main).train()
+
+        cfg = parse_config(scene="boxroom", vf_config_path=conf_path,
+                           joint_config_path=joint_conf, expname="eff",
+                           timestamp="joint_eff", data_root_dir=root,
+                           checkpoint="latest", offline=True)
+        src = os.path.join(cfg.vf_config.exps_folder, "eff_boxroom", "run",
+                           "checkpoints", "vf_nerf", "latest.ckpt")
+        dst = os.path.join(cfg.vf_config.exps_folder, "eff_boxroom",
+                           "joint_eff", "checkpoints", "vf_nerf")
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy(src, os.path.join(dst, "latest.ckpt"))
+        runner = JointOptimizationRunner(cfg)
+
+        ds = runner.dataset
+        gt7 = runner.pose_params.copy()
+        perturbed = perturb_poses(ds.poses, rot_deg=4.0, trans=0.08, seed=1)
+        runner.pose_params = np.asarray(
+            matrix_to_pose7(jnp.asarray(perturbed)))
+        before = pose7_errors(runner.pose_params, gt7)
+        assert before["rot_deg_mean"] > 3.0 and before["trans_mean"] > 0.07
+
+        runner.train()
+        after = pose7_errors(runner.pose_params, gt7)
+
+        # Efficacy: both error components shrink substantially (the chip
+        # run in tools/joint_efficacy.py demonstrates the full ->0 at
+        # production scale).
+        assert after["rot_deg_mean"] < 0.5 * before["rot_deg_mean"], \
+            (before, after)
+        assert after["trans_mean"] < 0.5 * before["trans_mean"], \
+            (before, after)

@@ -1,0 +1,234 @@
+"""Joint-stage efficacy experiment (VERDICT r3 #3): perturbed poses recover.
+
+The joint pose+field trainer (``train/joint_runner.py``, designed from the
+reference's config contract ``config_parser/joint_opt_config.py:9-29`` — the
+reference ships no trainer) was validated for plumbing only: gradients flow,
+orthonormality holds. This experiment demonstrates *efficacy*: train the
+field on GT poses, perturb the camera poses (default ≈1.5° rotation,
+0.02 scene units ≈ 2 cm translation), run the joint stage (pure joint
+epochs — supervision blocks backproject sensor depth through
+``dataset.poses``, which would leak GT poses into the experiment), and show
+the pose error driven toward 0 with PSNR restored toward the unperturbed
+baseline.
+
+Writes <workdir>/joint_efficacy.json; copy to results/ for the record.
+
+Usage: python tools/joint_efficacy.py [--epochs 1500] [--joint-epochs 150]
+       [--rot-deg 1.5] [--trans 0.02] [--workdir /tmp/vf_joint_eff]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def perturb_poses(poses, rot_deg, trans, seed=0):
+    """Compose each (4, 4) pose with a random small rotation (axis uniform
+    on the sphere, angle = rot_deg) and a random translation of norm
+    ``trans``."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = poses.copy()
+    for i in range(len(out)):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(rot_deg)
+        k = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        rot = np.eye(3) + np.sin(ang) * k + (1 - np.cos(ang)) * (k @ k)
+        out[i, :3, :3] = out[i, :3, :3] @ rot
+        dt = rng.normal(size=3)
+        out[i, :3, 3] += dt / np.linalg.norm(dt) * trans
+    return out
+
+
+def pose7_errors(pose7_a, pose7_b):
+    """Per-view rotation (deg) and translation errors between two (N, 7)
+    ``[quat | translation]`` pose sets."""
+    import numpy as np
+
+    qa = pose7_a[:, :4] / np.linalg.norm(pose7_a[:, :4], axis=1,
+                                         keepdims=True)
+    qb = pose7_b[:, :4] / np.linalg.norm(pose7_b[:, :4], axis=1,
+                                         keepdims=True)
+    dots = np.clip(np.abs((qa * qb).sum(axis=1)), 0.0, 1.0)
+    rot_deg = np.rad2deg(2.0 * np.arccos(dots))
+    trans = np.linalg.norm(pose7_a[:, 4:] - pose7_b[:, 4:], axis=1)
+    return {"rot_deg_mean": float(rot_deg.mean()),
+            "rot_deg_max": float(rot_deg.max()),
+            "trans_mean": float(trans.mean()),
+            "trans_max": float(trans.max())}
+
+
+def psnr_with_poses(model, dataset, poses, split_size=1024):
+    """Mean PSNR of the model rendered through the GIVEN poses against the
+    dataset's GT images (double-buffered across views)."""
+    import numpy as np
+
+    from vf_nerf_tpu.datasets.base import pixel_grid
+
+    h, w = dataset.image_size
+    uv = pixel_grid(h, w)
+    handles = [model.render_image_async(uv, poses[i], dataset.intrinsics,
+                                        epoch=0, split_size=split_size)
+               for i in range(len(poses))]
+    psnrs = []
+    for i, handle in enumerate(handles):
+        rgb, _ = model.render_image_fetch(handle)
+        mse = float(((rgb - dataset.rgb_images[i]) ** 2).mean())
+        psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+    return float(np.mean(psnrs))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=1500,
+                        help="main-stage training epochs (GT poses)")
+    parser.add_argument("--joint-epochs", type=int, default=150)
+    parser.add_argument("--joint-lr", type=float, default=1e-3)
+    parser.add_argument("--pose-lr", type=float, default=1e-2)
+    parser.add_argument("--pose-only-epochs", type=int, default=-1,
+                        help="field-frozen warmup epochs (-1 = 2/3 of "
+                             "joint epochs)")
+    parser.add_argument("--rot-deg", type=float, default=1.5)
+    parser.add_argument("--trans", type=float, default=0.02)
+    parser.add_argument("--views", type=int, default=6)
+    parser.add_argument("--size", type=int, nargs=2, default=[96, 128])
+    parser.add_argument("--workdir", type=str, default="/tmp/vf_joint_eff")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from convergence_variance import export_scene, write_conf
+
+    if os.path.exists(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(args.workdir)
+
+    print("== exporting scene + vf-init ==", flush=True)
+    export_scene(args.workdir, n_images=args.views,
+                 image_size=tuple(args.size))
+    conf_path = write_conf(args.workdir, args.epochs)
+    # Alignment-driving supervised weights for the joint stage: rgb + depth
+    # pull poses toward GT; the field-shaping similarity / unit-norm terms
+    # create pose-irrelevant gradients (measured: errors GREW with them on).
+    with open(conf_path) as f:
+        conf = f.read()
+    import re
+    conf = re.sub(r"(supervised_loss_weights\s*\{[^}]*?)rgb\s*=\s*[\d.]+",
+                  r"\g<1>rgb = 1.0", conf)
+    conf = re.sub(r"(supervised_loss_weights\s*\{[^}]*?)unit_norm\s*=\s*"
+                  r"[\d.]+", r"\g<1>unit_norm = 0.0", conf)
+    conf = re.sub(r"(supervised_loss_weights\s*\{[^}]*?)similarity\s*=\s*"
+                  r"[\d.]+", r"\g<1>similarity = 0.0", conf)
+    with open(conf_path, "w") as f:
+        f.write(conf)
+
+    print(f"== main-stage training ({args.epochs} epochs, GT poses) ==",
+          flush=True)
+    from vf_nerf_tpu.config.parser import parse_config
+    from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
+
+    t0 = time.perf_counter()
+    config = parse_config(scene="boxroom", config_path=conf_path,
+                          expname="eff", timestamp="run",
+                          data_root_dir=args.workdir, offline=True)
+    VectorFieldNerfRunner(config).train()
+    print(f"main stage: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    # Joint stage from the trained checkpoint, pure joint epochs.
+    pose_only = args.pose_only_epochs if args.pose_only_epochs >= 0 \
+        else 2 * args.joint_epochs // 3
+    joint_conf = os.path.join(args.workdir, "joint.conf")
+    with open(joint_conf, "w") as f:
+        f.write(f"""
+train {{
+    initial_training_epochs = 0
+    supervised_vf_epochs = 0
+    joint_epochs = {args.joint_epochs}
+    supervise_every = {args.joint_epochs + 1}
+    supervision_epochs = 0
+    refinement_init_lr = {args.joint_lr}
+    reset_scheduler = False
+    pose_lr = {args.pose_lr}
+    pose_only_epochs = {pose_only}
+}}
+joint_optimization {{
+    save_frequency = 1000000
+    num_bases = 6
+    decimation = 1.0
+    self_supervise = True
+}}
+""")
+    from vf_nerf_tpu.config.joint_parser import parse_config as parse_joint
+    from vf_nerf_tpu.ops.rays import matrix_to_pose7
+    from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+
+    cfg = parse_joint(scene="boxroom", vf_config_path=conf_path,
+                      joint_config_path=joint_conf, expname="eff",
+                      timestamp="joint", checkpoint="latest",
+                      data_root_dir=args.workdir, offline=True)
+    src = os.path.join(cfg.vf_config.exps_folder, "eff_boxroom", "run",
+                       "checkpoints", "vf_nerf", "latest.ckpt")
+    dst_dir = os.path.join(cfg.vf_config.exps_folder, "eff_boxroom",
+                           "joint", "checkpoints", "vf_nerf")
+    os.makedirs(dst_dir, exist_ok=True)
+    shutil.copy(src, os.path.join(dst_dir, "latest.ckpt"))
+
+    runner = JointOptimizationRunner(cfg)
+    ds = runner.dataset
+    gt7 = runner.pose_params.copy()
+
+    print("== PSNR baseline (GT poses, pre-joint model) ==", flush=True)
+    psnr_gt = psnr_with_poses(runner.model, ds, ds.poses)
+
+    perturbed = perturb_poses(ds.poses, args.rot_deg, args.trans, seed=1)
+    import jax.numpy as jnp
+    pert7 = np.asarray(matrix_to_pose7(jnp.asarray(perturbed)))
+    runner.pose_params = pert7.copy()
+    err_before = pose7_errors(pert7, gt7)
+    psnr_pert = psnr_with_poses(runner.model, ds, perturbed)
+    print(f"perturbed: {err_before}  psnr {psnr_pert:.2f} "
+          f"(gt baseline {psnr_gt:.2f})", flush=True)
+
+    print(f"== joint stage ({args.joint_epochs} epochs) ==", flush=True)
+    t0 = time.perf_counter()
+    metrics = runner.train()
+    joint_s = time.perf_counter() - t0
+    err_after = pose7_errors(runner.pose_params, gt7)
+    psnr_after = psnr_with_poses(runner.model, ds, runner.refined_poses())
+    print(f"recovered: {err_after}  psnr {psnr_after:.2f}", flush=True)
+
+    summary = {
+        "note": ("joint-stage efficacy: poses perturbed after main-stage "
+                 "training, pure joint epochs (no supervision blocks — "
+                 "they backproject depth through dataset.poses, a GT "
+                 "leak), pose error + PSNR before/after"),
+        "perturbation": {"rot_deg": args.rot_deg, "trans": args.trans},
+        "main_epochs": args.epochs, "joint_epochs": args.joint_epochs,
+        "joint_lr": args.joint_lr, "pose_lr": args.pose_lr,
+        "pose_only_epochs": pose_only,
+        "joint_wall_s": round(joint_s, 1),
+        "joint_final_loss": metrics.get("loss"),
+        "pose_error_before": err_before,
+        "pose_error_after": err_after,
+        "psnr_gt_baseline": psnr_gt,
+        "psnr_perturbed": psnr_pert,
+        "psnr_after_joint": psnr_after,
+    }
+    with open(os.path.join(args.workdir, "joint_efficacy.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print("JOINT_EFFICACY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

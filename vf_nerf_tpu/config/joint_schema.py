@@ -27,6 +27,15 @@ class TrainConfig:
     refinement_init_lr: float = 1e-4
     reset_scheduler: bool = False
 
+    # Trainer-design extensions beyond the reference contract (the reference
+    # ships no trainer — SURVEY.md C24). Standard pose-refinement schedule:
+    # poses move faster than the field, and optionally align against a
+    # frozen field first (the field otherwise absorbs the miscalibration
+    # before the poses can recover — measured in the efficacy study,
+    # results/joint_efficacy_r4.json).
+    pose_lr: float = 0.0          # 0 → refinement_init_lr
+    pose_only_epochs: int = 0     # first K joint epochs: field frozen
+
 
 @dataclass
 class JointOptimizationConfig:

@@ -99,8 +99,12 @@ class JointOptimizationRunner:
             matrix_to_pose7(jnp.asarray(self.dataset.poses)))
         self.weights: VFSupervisedLossWeights = vf_cfg.supervised_loss_weights
 
-        lr = config.train_config.refinement_init_lr
-        self.joint_tx = optax.adam(lr)
+        tc = config.train_config
+        self._model_lr = tc.refinement_init_lr
+        self._pose_lr = tc.pose_lr if tc.pose_lr > 0 else \
+            tc.refinement_init_lr
+        self.joint_tx = self._make_joint_tx(
+            freeze_model=tc.pose_only_epochs > 0)
         self.joint_opt_state = None  # built on first step (needs params)
 
         # Device mesh for data-parallel ray sharding (same policy as the
@@ -116,6 +120,21 @@ class JointOptimizationRunner:
                                     vf_cfg.timestamp or "joint",
                                     offline=vf_cfg.offline)
         self._bases: Optional[np.ndarray] = None
+
+    def _make_joint_tx(self, freeze_model: bool):
+        """Per-group optimizer: poses at ``pose_lr``, field at
+        ``refinement_init_lr`` — and the field frozen outright during the
+        ``pose_only_epochs`` warmup (a shared single-lr adam lets the
+        many-parameter field absorb the pose miscalibration before the
+        7-d poses can move; measured in the efficacy study)."""
+        def labels(params):
+            return {"model": jax.tree_util.tree_map(lambda _: "model",
+                                                    params["model"]),
+                    "poses": "poses"}
+        model_tx = optax.set_to_zero() if freeze_model else \
+            optax.adam(self._model_lr)
+        return optax.multi_transform(
+            {"model": model_tx, "poses": optax.adam(self._pose_lr)}, labels)
 
     # ----------------------------------------------------------- bases
     def dominant_bases(self) -> np.ndarray:
@@ -384,12 +403,17 @@ class JointOptimizationRunner:
         spd = self.config.vf_config.vf_nerf_config.device_config \
             .steps_per_dispatch
         scan_mode = spd != 1
-        if scan_mode:
-            joint_step = self._joint_scan_step_fn(statics)
-            sup_step = self._supervised_scan_step_fn()
-        else:
-            joint_step = self._joint_step_fn(statics)
-            sup_step = self._supervised_step_fn()
+
+        def build_steps():
+            # The step cores close over self.joint_tx — rebuilt at the
+            # pose-only → joint phase boundary.
+            if scan_mode:
+                return (self._joint_scan_step_fn(statics),
+                        self._supervised_scan_step_fn())
+            return self._joint_step_fn(statics), self._supervised_step_fn()
+
+        pose_only = min(max(tc.pose_only_epochs, 0), tc.joint_epochs)
+        joint_step, sup_step = build_steps()
 
         params = {"model": self.model.state.params,
                   "poses": jnp.asarray(self.pose_params)}
@@ -407,6 +431,12 @@ class JointOptimizationRunner:
 
         last: Dict[str, float] = {}
         for epoch in range(tc.joint_epochs):
+            if epoch == pose_only and pose_only > 0:
+                # Pose-only warmup over: unfreeze the field (fresh adam
+                # moments for both groups at the phase boundary).
+                self.joint_tx = self._make_joint_tx(freeze_model=False)
+                joint_step, sup_step = build_steps()
+                opt_state = self.joint_tx.init(params)
             epoch_log: Dict[str, float] = {}
             if (self.weights.supervision > 0 and tc.supervise_every > 0
                     and epoch % tc.supervise_every == 0):

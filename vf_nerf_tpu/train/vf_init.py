@@ -62,9 +62,12 @@ def fit_vf_init(config: VFNetConfig,
                 steps: int = 2000,
                 batch: int = 8192,
                 lr: float = 1e-3,
-                seed: int = 0) -> Tuple[dict, dict]:
+                seed: int = 0,
+                target_fn=None) -> Tuple[dict, dict]:
     """Train the VF net to regress the analytic target; returns
-    (params, batch_stats)."""
+    (params, batch_stats). ``target_fn`` (points → unit field, jnp)
+    overrides ``mode`` — used by tests/tools that fit a scene's exact
+    analytic field (e.g. the joint-stage efficacy experiment)."""
     net = VectorFieldMLP(config)
     key = jax.random.PRNGKey(seed)
     variables = net.init(key, jnp.zeros((8, 3)), train=False)
@@ -80,7 +83,8 @@ def fit_vf_init(config: VFNetConfig,
         k_pts, key = jax.random.split(key)
         pts = centroid_j + sample_extent * \
             jax.random.uniform(k_pts, (batch, 3), minval=-1.0, maxval=1.0)
-        target = target_field(pts, mode, centroid_j, wall_radius)
+        target = (target_fn(pts) if target_fn is not None else
+                  target_field(pts, mode, centroid_j, wall_radius))
 
         def loss_fn(p):
             out = net.apply({"params": p, "batch_stats": batch_stats}, pts,
