@@ -25,6 +25,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+METRIC = "render rays/sec/chip (1024-ray chunks, 100+30 samples"
+
 ATTEMPTS = int(os.environ.get("VFNERF_BENCH_ATTEMPTS", "3"))
 # First remote compile of the render graph is 1-4 min; warm runs finish in
 # seconds. 600 s comfortably bounds a healthy attempt while cutting a hung
@@ -50,7 +52,7 @@ def supervise(attempt, attempts=ATTEMPTS, backoffs=BACKOFFS_S, sleep=time.sleep)
         except Exception as exc:  # noqa: BLE001 — every failure mode retries
             errors.append(f"attempt {i + 1}: {type(exc).__name__}: {exc}")
     return {
-        "metric": "render rays/sec/chip (1024-ray chunks, 100+30 samples)",
+        "metric": METRIC + ")",
         "value": None,
         "unit": "rays/sec",
         "vs_baseline": None,
@@ -129,8 +131,7 @@ def worker() -> None:
 
     device = str(jax.devices()[0])
     print(json.dumps({
-        "metric": f"render rays/sec/chip (1024-ray chunks, 100+30 samples, "
-                  f"{device})",
+        "metric": f"{METRIC}, {device})",
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -338,3 +338,94 @@ joint_optimization {{
             (before, after)
         assert after["trans_mean"] < 0.5 * before["trans_mean"], \
             (before, after)
+
+
+class TestPoseOnlyPhaseBoundary:
+    """The pose-only → joint unfreeze boundary (mid-run optimizer swap +
+    opt-state re-init, replicated over the device mesh): exercised with
+    0 < pose_only_epochs < joint_epochs in BOTH dispatch modes."""
+
+    def _build(self, tmp_path, pose_only, joint_epochs=4):
+        from test_e2e import TINY_CONF
+        from vf_nerf_tpu.config.joint_parser import parse_config
+        from vf_nerf_tpu.datasets.synthetic import SyntheticBoxDataset
+
+        root = str(tmp_path)
+        ds = SyntheticBoxDataset(n_images=3, image_size=(12, 16),
+                                 pixels_per_batch=96)
+        ds.export_replica_format(root, scene="boxroom")
+        conf_path = os.path.join(root, "tiny.conf")
+        with open(conf_path, "w") as f:
+            f.write(TINY_CONF.replace(
+                "EXPS_PLACEHOLDER", os.path.join(root, "exps_vf_nerf")))
+        joint_conf = os.path.join(root, "joint.conf")
+        with open(joint_conf, "w") as f:
+            f.write(f"""
+train {{
+    initial_training_epochs = 0
+    supervised_vf_epochs = 0
+    joint_epochs = {joint_epochs}
+    supervise_every = {joint_epochs + 1}
+    supervision_epochs = 0
+    refinement_init_lr = 1e-3
+    reset_scheduler = False
+    pose_lr = 1e-2
+    pose_only_epochs = {pose_only}
+}}
+joint_optimization {{
+    save_frequency = 1000000
+    num_bases = 6
+    decimation = 1.0
+    self_supervise = True
+}}
+""")
+        return parse_config(scene="boxroom", vf_config_path=conf_path,
+                            joint_config_path=joint_conf, expname="pb",
+                            timestamp="joint_pb", data_root_dir=root,
+                            offline=True)
+
+    @staticmethod
+    def _max_param_delta(a, b):
+        diffs = jax.tree_util.tree_map(
+            lambda x, y: float(np.max(np.abs(np.asarray(x) -
+                                             np.asarray(y)))), a, b)
+        return max(jax.tree_util.tree_leaves(diffs), default=0.0)
+
+    def test_fully_frozen_model_is_bit_identical(self, tmp_path):
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        cfg = self._build(tmp_path, pose_only=4, joint_epochs=4)
+        runner = JointOptimizationRunner(cfg)
+        init_model = jax.device_get(runner.model.state.params)
+        init_poses = runner.pose_params.copy()
+        runner.train()
+        assert self._max_param_delta(runner.model.state.params,
+                                     init_model) == 0.0
+        assert not np.allclose(runner.pose_params, init_poses)
+
+    def test_unfreeze_boundary_model_moves_after(self, tmp_path):
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        cfg = self._build(tmp_path, pose_only=2, joint_epochs=4)
+        runner = JointOptimizationRunner(cfg)
+        init_model = jax.device_get(runner.model.state.params)
+        runner.train()
+        assert self._max_param_delta(runner.model.state.params,
+                                     init_model) > 0.0
+
+    def test_boundary_scan_equals_per_step(self, tmp_path):
+        """The mid-run re-jit + opt-state re-init computes the same updates
+        under K-steps-per-dispatch as per-step dispatch."""
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+        results = {}
+        for spd in (1, 0):
+            cfg = self._build(tmp_path / f"spd{spd}", pose_only=2,
+                              joint_epochs=4)
+            cfg.vf_config.vf_nerf_config.device_config.steps_per_dispatch \
+                = spd
+            runner = JointOptimizationRunner(cfg)
+            runner.train()
+            results[spd] = (jax.device_get(runner.model.state.params),
+                            runner.pose_params.copy())
+        np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            results[0][0], results[1][0])

@@ -8,7 +8,8 @@ vf_nerf.conf`` shapes — 8×256 VF net + 256-wide rendering net, 100 coarse +
 with transplanted weights, plus per-tensor gradient direction cosines at the
 same shape.
 
-Run explicitly: ``pytest tests/test_production_shape_parity.py -m slow``.
+These run in the full default suite (they ARE part of "tests/ green");
+deselect for a quick pass with ``-m "not slow"``.
 """
 
 import dataclasses

@@ -432,8 +432,10 @@ def trace_rects(origins: np.ndarray, dirs: np.ndarray,
         denom = dirs[:, r.axis]
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (r.coord - origins[:, r.axis]) / denom
-        u = origins[:, a0] + t * dirs[:, a0]
-        v = origins[:, a1] + t * dirs[:, a1]
+            # inside the errstate guard: inf * 0 → nan for rays parallel
+            # to the plane (they fail the denom != 0 test below anyway)
+            u = origins[:, a0] + t * dirs[:, a0]
+            v = origins[:, a1] + t * dirs[:, a1]
         eps = 1e-9
         ok = ((denom != 0) & (t > 1e-6)
               & (u >= r.lo[0] - eps) & (u <= r.hi[0] + eps)

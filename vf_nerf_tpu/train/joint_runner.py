@@ -437,8 +437,16 @@ class JointOptimizationRunner:
                 self.joint_tx = self._make_joint_tx(freeze_model=False)
                 joint_step, sup_step = build_steps()
                 opt_state = self.joint_tx.init(params)
+                if self.mesh is not None:
+                    opt_state = mesh_lib.replicate_state(self.mesh,
+                                                         opt_state)
             epoch_log: Dict[str, float] = {}
+            # Supervision sharpens the FIELD; during the pose-only warmup
+            # the field group's updates are zeroed, so the block would be
+            # a full-cost no-op (dominant-bases extraction + dispatches
+            # with exactly-zero updates) — skip it outright.
             if (self.weights.supervision > 0 and tc.supervise_every > 0
+                    and epoch >= pose_only
                     and epoch % tc.supervise_every == 0):
                 self._bases = self.dominant_bases()
                 # Targets snap against the field at block start; batches are
