@@ -174,6 +174,28 @@ class TestScanNetRoundTrip:
         assert loaded.intrinsics[1, 2] == pytest.approx(
             ds.intrinsics[1, 2] - 2)
 
+    def test_frame_stride_matches_default_subsample(self, tmp_path):
+        """``frame_stride=40`` pads the index space so the loader's
+        hardcoded every-40th subsample (reference scannet_dataset.py:19 —
+        callers never override the default) selects exactly the distinct
+        views, in order."""
+        from vf_nerf_tpu.config.schema import DatasetConfig
+        from vf_nerf_tpu.datasets.scannet import ScanNetDataset
+        ds = SyntheticBoxDataset(n_images=3, image_size=(16, 24),
+                                 pixels_per_batch=96)
+        root = str(tmp_path)
+        ds.export_scannet_format(root, scene="scene0002_00",
+                                 frame_stride=40)
+        cfg = DatasetConfig(dataset_name="scannet", data_dir="ScanNet",
+                            shuffle_views=True, pixels_per_batch=96,
+                            scene="scene0002_00", data_root_dir=root,
+                            factor=1, crop_edge=0)
+        loaded = ScanNetDataset(cfg)  # default factor=40
+        assert loaded.n_images == 3
+        np.testing.assert_allclose(loaded.poses, ds.poses, atol=1e-6)
+        np.testing.assert_allclose(loaded.depth_images, ds.depth_images,
+                                   atol=2e-3)
+
 
 class TestReferenceLoaderParity:
     """Our loaders vs the reference loaders run on the SAME fixture folder,

@@ -229,11 +229,20 @@ class SyntheticBoxDataset(BaseDataset):
         return base
 
     def export_scannet_format(self, root: str, scene: str = "scene0000_00",
-                              crop_edge: int = 0) -> str:
+                              crop_edge: int = 0,
+                              frame_stride: int = 1) -> str:
         """Write this scene in ScanNet's on-disk layout
         (``datasets/normal_datasets/scannet_dataset.py`` contract: color/,
         depth/ in mm, pose/*.txt, intrinsic/intrinsic_depth.txt,
-        <scene>_vh_clean.ply)."""
+        <scene>_vh_clean.ply).
+
+        ``frame_stride`` pads the frame index space the way a real scan's
+        frame rate does: frame i lands at index ``i*frame_stride`` and the
+        intermediate indices are symlinks to it, so the loader's hardcoded
+        every-40th subsample (``scannet_dataset.py:19`` — callers never
+        override it) selects exactly the n_images distinct views when
+        ``frame_stride=40``.
+        """
         import cv2
 
         from vf_nerf_tpu.utils.ply import save_ply
@@ -246,17 +255,25 @@ class SyntheticBoxDataset(BaseDataset):
             for row in self.intrinsics:
                 f.write(" ".join(str(float(v)) for v in row) + "\n")
         for i in range(self.n_images):
+            idx = i * frame_stride
             img = (self.rgb_images[i].reshape(h, w, 3) * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(base, "color", f"{i:04d}.jpg"),
+            cv2.imwrite(os.path.join(base, "color", f"{idx:06d}.jpg"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                         [cv2.IMWRITE_JPEG_QUALITY, 98])
             depth_mm = (self.depth_images[i].reshape(h, w) *
                         1000.0).astype(np.uint16)
-            cv2.imwrite(os.path.join(base, "depth", f"{i:04d}.png"),
+            cv2.imwrite(os.path.join(base, "depth", f"{idx:06d}.png"),
                         depth_mm)
-            with open(os.path.join(base, "pose", f"{i:04d}.txt"), "w") as f:
+            with open(os.path.join(base, "pose", f"{idx:06d}.txt"),
+                      "w") as f:
                 for row in self.poses[i]:
                     f.write(" ".join(str(float(v)) for v in row) + "\n")
+            for j in range(1, frame_stride):
+                for sub, ext in (("color", "jpg"), ("depth", "png"),
+                                 ("pose", "txt")):
+                    os.symlink(f"{idx:06d}.{ext}",
+                               os.path.join(base, sub,
+                                            f"{idx + j:06d}.{ext}"))
         verts, faces = self.gt_mesh()
         save_ply(os.path.join(base, f"{scene}_vh_clean.ply"), verts, faces)
         return base
