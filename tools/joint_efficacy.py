@@ -99,6 +99,9 @@ def main() -> None:
     parser.add_argument("--pose-only-epochs", type=int, default=-1,
                         help="field-frozen warmup epochs (-1 = 2/3 of "
                              "joint epochs)")
+    parser.add_argument("--pose-lr-decay", type=float, default=1.0,
+                        help="pose-lr floor ratio across the warmup "
+                             "(stabilizes long warmups; see joint_schema)")
     parser.add_argument("--rot-deg", type=float, default=1.5)
     parser.add_argument("--trans", type=float, default=0.02)
     parser.add_argument("--views", type=int, default=6)
@@ -161,6 +164,7 @@ train {{
     reset_scheduler = False
     pose_lr = {args.pose_lr}
     pose_only_epochs = {pose_only}
+    pose_lr_decay = {args.pose_lr_decay}
 }}
 joint_optimization {{
     save_frequency = 1000000
@@ -217,6 +221,7 @@ joint_optimization {{
         "main_epochs": args.epochs, "joint_epochs": args.joint_epochs,
         "joint_lr": args.joint_lr, "pose_lr": args.pose_lr,
         "pose_only_epochs": pose_only,
+        "pose_lr_decay": args.pose_lr_decay,
         "joint_wall_s": round(joint_s, 1),
         "joint_final_loss": metrics.get("loss"),
         "pose_error_before": err_before,

@@ -35,6 +35,14 @@ class TrainConfig:
     # results/joint_efficacy_r4.json).
     pose_lr: float = 0.0          # 0 → refinement_init_lr
     pose_only_epochs: int = 0     # first K joint epochs: field frozen
+    # Pose-LR decay over the pose-only warmup: final/initial ratio (1.0 =
+    # constant). A constant 1e-2 adam on the 7-d poses is stable for ~100
+    # warmup epochs but DIVERGES when the warmup is stretched (measured:
+    # 300 pose-only epochs → rot error 1.5°→16.8°, the poses orbit the
+    # optimum at a step size the sharpening loss landscape no longer
+    # tolerates). The decay anneals the step size toward the floor
+    # ``pose_lr * pose_lr_decay``, which the post-warmup phase then uses.
+    pose_lr_decay: float = 1.0
 
 
 @dataclass
