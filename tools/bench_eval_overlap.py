@@ -51,6 +51,11 @@ def main() -> None:
     config = parse_config(scene="boxroom", config_path=conf,
                           expname="evalbench", data_root_dir=args.workdir,
                           offline=True)
+    # The eval dataset applies the train-time `factor` image subsample
+    # (reference quirk, replica_dataset.py:42; default 20) — with it, a
+    # small bench export renders a single image and the pipelined-vs-
+    # serial A/B measures nothing. Pin factor=1 so every view renders.
+    config.dataset_config.factor = 1
     model = VectorFieldNerf(config.vf_nerf_config, seed=0)
     model.eval()
     model.fine_n_samples = 30
@@ -75,17 +80,21 @@ def main() -> None:
     warm_total = time.perf_counter() - t0
     print(f"cold pass: {warm_total:.1f}s total", flush=True)
 
-    shutil.rmtree(os.path.join(eval_path, "rendered_images"))
+    img_dir = os.path.join(eval_path, "rendered_images")
+    n_rendered = len([f for f in os.listdir(img_dir)
+                      if f.startswith("image-")])
+    shutil.rmtree(img_dir)
     t0 = time.perf_counter()
     methods.render_images(model, eval_path, config.dataset_config, epoch=0,
                           split_size=args.chunk)
     total = time.perf_counter() - t0
     h, w = args.size
-    per_image = total / args.views
-    rays_per_sec = args.views * h * w / total
+    per_image = total / n_rendered
+    rays_per_sec = n_rendered * h * w / total
     print(json.dumps({
         "mode": "serial" if args.serial else "pipelined",
-        "views": args.views, "size": args.size,
+        "views": args.views, "images_rendered": n_rendered,
+        "size": args.size,
         "total_s": round(total, 2),
         "s_per_image": round(per_image, 2),
         "rays_per_sec": round(rays_per_sec, 1),
