@@ -101,7 +101,7 @@ def worker() -> None:
 
     jitted = jax.jit(reduced)
 
-    keys = [jax.random.PRNGKey(i) for i in range(100)]
+    keys = [jax.random.PRNGKey(i) for i in range(1000)]
 
     def run(key):
         return jitted(*args[:-1], key)
@@ -109,7 +109,11 @@ def worker() -> None:
     float(run(keys[0]))  # warmup / compile / sync
 
     n_rays = args[1].shape[0]
-    n_iters = 33
+    # 300 dispatches/trial: the trial's single hard sync (a host fetch
+    # through the relay, ~0.1-0.5 s) is a FIXED cost — at 33 iters it ate
+    # ~20% of the measured rate (262k vs 330k rays/s, r4); 300 amortizes
+    # it below the trial-to-trial noise while keeping a trial ~3 s.
+    n_iters = 300
     # Median of 3 trials: single-trial numbers swing ±5% with transient
     # relay load; the median is reproducible run to run.
     rates = []
