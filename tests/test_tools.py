@@ -360,3 +360,39 @@ class TestLpips:
         b = np.clip(a + 0.1 * rng.randn(64, 64, 3).astype(np.float32), 0, 1)
         d = get_lpips(a, b)
         assert 0.0 < d < 1.0
+
+
+class TestProtocolConfPatch:
+    """The office clamp study patches the written run.conf by string
+    replace; a drifted anchor would silently train at the shipped 0.5
+    (tools/office_protocol.py::apply_depth_clamp)."""
+
+    def _tools_path(self):
+        import sys
+        tools = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools")
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
+
+    def test_patched_conf_parses_with_new_clamp(self, tmp_path):
+        self._tools_path()
+        from convergence_variance import write_conf
+        from office_protocol import apply_depth_clamp
+
+        from vf_nerf_tpu.config.parser import parse_config
+
+        conf_path = write_conf(str(tmp_path), epochs=5)
+        apply_depth_clamp(conf_path, 3.0)
+        config = parse_config(scene="boxroom", config_path=conf_path,
+                              expname="t", timestamp="run",
+                              data_root_dir=str(tmp_path), offline=True)
+        assert config.vf_loss_config.depth_loss_clamp == 3.0
+
+    def test_missing_anchor_raises(self, tmp_path):
+        self._tools_path()
+        from office_protocol import apply_depth_clamp
+
+        p = tmp_path / "run.conf"
+        p.write_text("loss { config { depth_loss_clamp = 0.7 } }\n")
+        with pytest.raises(RuntimeError, match="refusing"):
+            apply_depth_clamp(str(p), 3.0)

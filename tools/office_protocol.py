@@ -35,6 +35,25 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from convergence_variance import edge_breakdown_ds, write_conf  # noqa: E402
 
 
+def apply_depth_clamp(conf_path: str, value: float) -> None:
+    """Patch ``loss.config.depth_loss_clamp`` in a written run.conf.
+
+    Guarded: a conf whose clamp line drifted from the shipped
+    ``depth_loss_clamp = 0.5`` (confs/vf_nerf.conf) would make the string
+    replace a silent no-op and the "raised clamp" run would actually train
+    at 0.5 — raise instead.
+    """
+    with open(conf_path) as f:
+        conf = f.read()
+    anchor = "depth_loss_clamp = 0.5"
+    if anchor not in conf:
+        raise RuntimeError(
+            f"{conf_path} has no '{anchor}' line to patch — refusing to "
+            "run a clamp study against an unpatched conf")
+    with open(conf_path, "w") as f:
+        f.write(conf.replace(anchor, f"depth_loss_clamp = {value}"))
+
+
 def export_office(workdir, n_images, image_size, pitch):
     import pickle
 
@@ -131,12 +150,7 @@ def main() -> None:
                        args.pitch)
     conf_path = write_conf(args.workdir, args.epochs)
     if args.depth_clamp is not None:
-        with open(conf_path) as f:
-            conf = f.read()
-        conf = conf.replace("depth_loss_clamp = 0.5",
-                            f"depth_loss_clamp = {args.depth_clamp}")
-        with open(conf_path, "w") as f:
-            f.write(conf)
+        apply_depth_clamp(conf_path, args.depth_clamp)
 
     print(f"== training seed {args.seed} ({args.epochs} epochs x "
           f"{args.views} steps) ==", flush=True)
@@ -184,6 +198,8 @@ def main() -> None:
                  "generic exterior_scene VF init"),
         "views": args.views, "image_size": args.size,
         "epochs": args.epochs, "seed": args.seed,
+        "depth_loss_clamp": (0.5 if args.depth_clamp is None
+                             else args.depth_clamp),
         "mc_resolution": args.resolution,
         "train_wall_s": round(train_s, 1),
         "train_rays_per_sec": round(
