@@ -201,6 +201,23 @@ joint_optimization {
             lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
             p0, p1)
 
+    def test_depth_clamp_threads_from_conf(self, tmp_path):
+        """The joint step must honor ``loss.config.depth_loss_clamp`` from
+        the vf conf (the r4 office study's occluder-recovery knob) rather
+        than a pinned 0.5: with a near-zero clamp the reported per-epoch
+        depth_loss is capped at the clamp; at the default it is not."""
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+
+        losses = {}
+        for clamp in (0.5, 1e-4):
+            cfg = self._build(tmp_path)
+            cfg.vf_config.vf_loss_config.depth_loss_clamp = clamp
+            cfg.vf_config.timestamp = f"joint_clamp_{clamp}"
+            runner = JointOptimizationRunner(cfg)
+            losses[clamp] = runner.train()["depth_loss"]
+        assert losses[1e-4] <= 1e-4 + 1e-6
+        assert losses[0.5] > 10 * losses[1e-4]
+
     def test_joint_training_runs_and_improves(self, tmp_path):
         from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
         cfg = self._build(tmp_path)

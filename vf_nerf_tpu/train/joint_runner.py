@@ -216,7 +216,12 @@ class JointOptimizationRunner:
         ``parallel/train_step.make_scan_train_step``)."""
         modules = self.model.modules
         weights = self.weights
-        depth_clamp = 0.5
+        # Thread the conf's clamp (loss.config.depth_loss_clamp) instead of
+        # pinning 0.5: the r4 office study showed raising it past the scene's
+        # depth-error scale is THE knob that un-deadlocks occluder recovery
+        # (PARITY.md "Recall attribution") — a hardcoded 0.5 here would
+        # silently ignore that override during joint refinement.
+        depth_clamp = self.config.vf_config.vf_loss_config.depth_loss_clamp
         tx = self.joint_tx
 
         def step(params, opt_state, sums, batch_stats, batch, key, near,
