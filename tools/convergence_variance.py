@@ -235,19 +235,25 @@ def apply_cohort_gate(results, margin: float = 1.2):
     returns the aggregate fields."""
     import numpy as np
 
+    import math
+
     losses = [r.get("final_loss") for r in results]
-    valid = [l for l in losses if l is not None]
+    # A NaN loss (diverged run) must be flagged itself and excluded from
+    # the median — one NaN would poison np.median to NaN and silently
+    # disable the gate for the whole cohort.
+    valid = [l for l in losses if l is not None and math.isfinite(l)]
     if not valid:
         return {}
     median = float(np.median(valid))
     flagged = []
     for r in results:
         loss = r.get("final_loss")
-        r["flagged"] = bool(loss is not None and loss > margin * median)
+        r["flagged"] = bool(loss is not None and
+                            not loss <= margin * median)
         if r["flagged"]:
             flagged.append(r.get("seed"))
             print(f"NON-CONVERGENCE GATE: seed {r.get('seed')} final loss "
-                  f"{loss:.6g} > {margin}x cohort median {median:.6g} — "
+                  f"{loss:.6g} vs {margin}x cohort median {median:.6g} — "
                   "recommend re-seeding (VFNERF_SEED)", flush=True)
     return {"cohort_median_loss": median, "gate_margin": margin,
             "flagged_seeds": flagged}

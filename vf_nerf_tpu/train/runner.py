@@ -24,6 +24,7 @@ data mesh (the batch is trimmed to a device-count multiple).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -367,19 +368,34 @@ class VectorFieldNerfRunner:
         recommend re-seeding (the r3 variance study showed a bad seed is
         train-loss-detectable: 0.00615 vs cohort 0.00478)."""
         thr = getattr(self.config, "convergence_loss_threshold", 0.0)
-        flagged = bool(thr and self.final_loss is not None
-                       and self.final_loss > thr)
-        payload = {"final_loss": self.final_loss,
+        # NaN-aware: a diverged run (final loss NaN) is the worst
+        # non-convergence — `NaN > thr` is False, so test the negation.
+        # Serialize NaN as None: the `NaN` token json.dump would emit is
+        # invalid strict JSON for non-Python consumers.
+        diverged = (self.final_loss is not None
+                    and not math.isfinite(self.final_loss))
+        flagged = bool(diverged or
+                       (thr and self.final_loss is not None
+                        and not self.final_loss <= thr))
+        payload = {"final_loss": (self.final_loss
+                                  if self.final_loss is None or
+                                  math.isfinite(self.final_loss)
+                                  else None),
+                   "diverged": diverged,
                    "threshold": thr if thr else None,
                    "flagged": flagged}
         if flagged:
             payload["recommendation"] = (
-                "final train loss exceeds the convergence threshold — "
-                "likely a bad seed (PARITY.md variance study); re-run with "
-                "a different VFNERF_SEED")
+                ("final train loss is non-finite — the run diverged"
+                 if diverged else
+                 "final train loss exceeds the convergence threshold") +
+                " — likely a bad seed (PARITY.md variance study); re-run "
+                "with a different VFNERF_SEED")
             print(f"WARNING: non-convergence gate: final loss "
-                  f"{self.final_loss:.6g} > threshold {thr:.6g}; "
-                  "recommend re-seeding (VFNERF_SEED)", flush=True)
+                  f"{self.final_loss:.6g}"
+                  + (f" > threshold {thr:.6g}" if not diverged else
+                     " (non-finite)") +
+                  "; recommend re-seeding (VFNERF_SEED)", flush=True)
         with open(os.path.join(self.run_dir, "convergence.json"), "w") as f:
             json.dump(payload, f, indent=1)
 
