@@ -58,12 +58,31 @@ class TestRunnerThresholdGate:
     def test_disabled_by_default_but_always_written(self, tmp_path):
         _bare_runner(tmp_path, 0.0, 0.9)._write_convergence_flag()
         out = _flag(tmp_path)
-        assert out == {"final_loss": 0.9, "threshold": None,
-                       "flagged": False}
+        assert out == {"final_loss": 0.9, "diverged": False,
+                       "threshold": None, "flagged": False}
 
     def test_no_loss_recorded(self, tmp_path):
         _bare_runner(tmp_path, 0.005, None)._write_convergence_flag()
         assert _flag(tmp_path)["flagged"] is False
+
+    def test_diverged_nan_flags_even_without_threshold(self, tmp_path,
+                                                       capsys):
+        """A NaN final loss is flagged regardless of threshold and is
+        serialized as null (strict-JSON safe)."""
+        _bare_runner(tmp_path, 0.0, float("nan"))._write_convergence_flag()
+        out = _flag(tmp_path)
+        assert out["diverged"] is True
+        assert out["flagged"] is True
+        assert out["final_loss"] is None
+        assert "diverged" in out["recommendation"]
+        assert "non-finite" in capsys.readouterr().out
+
+    def test_diverged_inf_flags(self, tmp_path):
+        _bare_runner(tmp_path, 0.005, float("inf"))._write_convergence_flag()
+        out = _flag(tmp_path)
+        assert out == {"final_loss": None, "diverged": True,
+                       "threshold": 0.005, "flagged": True,
+                       "recommendation": out["recommendation"]}
 
 
 class TestCohortGate:
@@ -99,3 +118,18 @@ class TestCohortGate:
         agg = apply_cohort_gate(runs)
         assert agg["flagged_seeds"] == []
         assert runs[0]["flagged"] is False
+
+    def test_all_diverged_cohort_still_flags(self, capsys):
+        """With no finite losses there is no cohort median, but divergence
+        is self-evident: every loss-bearing run must be flagged instead of
+        silently disabling the gate (ADVICE r4)."""
+        from convergence_variance import apply_cohort_gate
+
+        runs = [{"seed": 0, "final_loss": float("nan")},
+                {"seed": 1, "final_loss": float("inf")},
+                {"seed": 2, "error": True}]
+        agg = apply_cohort_gate(runs)
+        assert agg["flagged_seeds"] == [0, 1]
+        assert agg["cohort_median_loss"] is None
+        assert [r["flagged"] for r in runs] == [True, True, False]
+        assert "diverged" in capsys.readouterr().out

@@ -216,7 +216,10 @@ joint_optimization {
             runner = JointOptimizationRunner(cfg)
             losses[clamp] = runner.train()["depth_loss"]
         assert losses[1e-4] <= 1e-4 + 1e-6
-        assert losses[0.5] > 10 * losses[1e-4]
+        # The un-clamped run must exceed the tight clamp's cap (threading
+        # proof); avoid a hard 10x ratio that couples to the untrained
+        # field's depth error magnitude (ADVICE r4).
+        assert losses[0.5] > losses[1e-4]
 
     def test_joint_training_runs_and_improves(self, tmp_path):
         from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner

@@ -243,7 +243,20 @@ def apply_cohort_gate(results, margin: float = 1.2):
     # disable the gate for the whole cohort.
     valid = [l for l in losses if l is not None and math.isfinite(l)]
     if not valid:
-        return {}
+        # All-diverged cohort: there is no median, but divergence is
+        # self-evident — flag every loss-bearing run instead of silently
+        # disabling the gate (callers read r["flagged"]).
+        flagged = []
+        for r in results:
+            loss = r.get("final_loss")
+            r["flagged"] = loss is not None
+            if r["flagged"]:
+                flagged.append(r.get("seed"))
+                print(f"NON-CONVERGENCE GATE: seed {r.get('seed')} final "
+                      f"loss {loss} is non-finite — the run diverged; "
+                      "recommend re-seeding (VFNERF_SEED)", flush=True)
+        return {"cohort_median_loss": None, "gate_margin": margin,
+                "flagged_seeds": flagged}
     median = float(np.median(valid))
     flagged = []
     for r in results:
