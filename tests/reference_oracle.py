@@ -63,9 +63,14 @@ def install_reference_stubs() -> None:
 
     for name in ("open3d", "trimesh", "lpips", "skimage", "requests",
                  "sklearn", "sklearn.cluster", "torchvision",
-                 "torchvision.transforms"):
+                 "torchvision.transforms", "numba"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
+            if name == "numba":
+                # marching_cubes_vt decorates two DEAD-code functions with
+                # @numba.jit (SURVEY.md headline facts); a pass-through
+                # decorator keeps the module importable as an oracle.
+                mod.jit = lambda *a, **k: (lambda f: f)
             if name == "sklearn.cluster":
                 mod.KMeans = object
             if name == "torchvision.transforms":

@@ -33,6 +33,83 @@ class TestQuatRoundTrip:
         np.testing.assert_allclose(back, poses, rtol=1e-4, atol=1e-5)
 
 
+class TestGaugeAlignment:
+    """tools/joint_efficacy.py's Umeyama gauge-removal scoring (r5):
+    a pure global Sim(3) applied to every pose must score ~0 after
+    alignment, and the recovered gauge must match the applied one."""
+
+    def _poses(self, n=12, seed=3):
+        from scipy.spatial.transform import Rotation
+        poses = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        poses[:, :3, :3] = Rotation.random(n, random_state=seed).as_matrix()
+        poses[:, :3, 3] = np.random.RandomState(seed).randn(n, 3)
+        return poses
+
+    def test_global_se3_is_gauge_only(self):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from joint_efficacy import aligned_pose7_errors, pose7_errors
+        from scipy.spatial.transform import Rotation
+
+        gt = self._poses()
+        g = np.eye(4)
+        g[:3, :3] = Rotation.from_euler("xyz", [5, -3, 8],
+                                        degrees=True).as_matrix()
+        g[:3, 3] = [0.1, -0.05, 0.2]
+        est = np.einsum("ij,njk->nik", g, gt)
+        gt7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            gt.astype(np.float32))))
+        est7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            est.astype(np.float32))))
+        raw = pose7_errors(est7, gt7)
+        assert raw["trans_mean"] > 0.05  # the gauge shows up raw...
+        aligned = aligned_pose7_errors(est7, gt7)
+        assert aligned["rot_deg_mean"] < 0.05  # ...and vanishes aligned
+        assert aligned["trans_mean"] < 1e-3
+        assert aligned["gauge_rot_deg"] == pytest.approx(
+            np.rad2deg(np.linalg.norm(Rotation.from_matrix(
+                g[:3, :3]).as_rotvec())), abs=0.05)
+
+    def test_sim3_recovers_scale(self):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from joint_efficacy import aligned_pose7_errors
+
+        gt = self._poses()
+        est = gt.copy()
+        est[:, :3, 3] *= 1.07  # pure scale gauge
+        gt7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            gt.astype(np.float32))))
+        est7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            est.astype(np.float32))))
+        se3 = aligned_pose7_errors(est7, gt7)
+        sim3 = aligned_pose7_errors(est7, gt7, with_scale=True)
+        assert sim3["trans_mean"] < 1e-3 < se3["trans_mean"]
+        assert sim3["gauge_scale"] == pytest.approx(1 / 1.07, rel=1e-3)
+
+    def test_real_error_survives_alignment(self):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from joint_efficacy import aligned_pose7_errors, perturb_poses
+
+        gt = self._poses()
+        est = perturb_poses(gt, rot_deg=2.0, trans=0.05, seed=0)
+        gt7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            gt.astype(np.float32))))
+        est7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            est.astype(np.float32))))
+        aligned = aligned_pose7_errors(est7, gt7, with_scale=True)
+        # iid per-view noise is NOT a gauge — most of it must survive.
+        assert aligned["rot_deg_mean"] > 1.0
+        assert aligned["trans_mean"] > 0.02
+
+
 class TestGeometryUtils:
     def test_sphere_intersections(self):
         from vf_nerf_tpu.utils.geometry import compute_sphere_intersections
@@ -220,6 +297,22 @@ joint_optimization {
         # proof); avoid a hard 10x ratio that couples to the untrained
         # field's depth error magnitude (ADVICE r4).
         assert losses[0.5] > losses[1e-4]
+
+    def test_anchor_first_pose_pins_the_gauge(self, tmp_path):
+        """With ``train.anchor_first_pose``, pose 0's parameters are
+        bit-unchanged by training (its gradient is zeroed before adam)
+        while the other poses still receive updates — the fix-one-camera
+        gauge normalization (r5)."""
+        from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner
+
+        cfg = self._build(tmp_path)
+        cfg.train_config.anchor_first_pose = True
+        cfg.vf_config.timestamp = "joint_anchor"
+        runner = JointOptimizationRunner(cfg)
+        initial = runner.pose_params.copy()
+        runner.train()
+        np.testing.assert_array_equal(runner.pose_params[0], initial[0])
+        assert not np.allclose(runner.pose_params[1:], initial[1:])
 
     def test_joint_training_runs_and_improves(self, tmp_path):
         from vf_nerf_tpu.train.joint_runner import JointOptimizationRunner

@@ -207,6 +207,37 @@ class TestOfficeDataset:
         _, d, _ = rect_closest_points(centers, ds.rects)
         assert (d >= 0.3).all()
 
+    def test_pitch_stratified_floor_and_ceiling_observed(self):
+        """Round-5 rig fix (VERDICT r4): iid pitch draws left seed 0 with
+        no camera pitching below -26.5 deg, so the floor was 1% of rendered
+        pixels and the headline recall inherited a rig blind spot. With
+        stratified pitch every seed must cover both pitch extremes and the
+        floor must receive a pixel share comparable to the ceiling's."""
+        from vf_nerf_tpu.datasets.base import pixel_grid
+        from vf_nerf_tpu.datasets.synthetic import G_CEIL
+
+        for seed in (0, 3):
+            ds = SyntheticOfficeDataset(n_images=16, image_size=(30, 40),
+                                        pixels_per_batch=96, seed=seed)
+            pitch = np.arcsin(ds.poses[:, 2, 2])
+            assert pitch.min() < -0.5 * ds.pitch_range
+            assert pitch.max() > 0.5 * ds.pitch_range
+            h, w = ds.image_size
+            uv = pixel_grid(h, w)
+            fx, fy = ds.intrinsics[0, 0], ds.intrinsics[1, 1]
+            cx, cy = ds.intrinsics[0, 2], ds.intrinsics[1, 2]
+            dirs_cam = np.stack([(uv[:, 0] - cx) / fx,
+                                 (uv[:, 1] - cy) / fy,
+                                 np.ones(h * w)], axis=-1)
+            cnt = np.zeros(8, np.int64)
+            for pose in ds.poses:
+                dirs = dirs_cam @ pose[:3, :3].T
+                _, g = trace_rects(pose[:3, 3][None], dirs, ds.rects)
+                cnt += np.bincount(g, minlength=8)
+            frac = cnt / cnt.sum()
+            assert frac[G_FLOOR] > 0.03, f"floor starved: {frac[G_FLOOR]}"
+            assert frac[G_FLOOR] > 0.3 * frac[G_CEIL]
+
     def test_scene_is_nonconvex_with_occlusion(self):
         """At least one GT ray hits an occluder (group > ceiling) and depth
         maps show the thin wall: its group appears in the trace."""

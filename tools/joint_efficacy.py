@@ -29,15 +29,21 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
-def perturb_poses(poses, rot_deg, trans, seed=0):
+def perturb_poses(poses, rot_deg, trans, seed=0, skip=()):
     """Compose each (4, 4) pose with a random small rotation (axis uniform
     on the sphere, angle = rot_deg) and a random translation of norm
-    ``trans``."""
+    ``trans``. Indices in ``skip`` keep their GT pose but still consume
+    RNG draws, so the other views' perturbations match across anchored /
+    unanchored runs."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     out = poses.copy()
     for i in range(len(out)):
+        if i in skip:
+            rng.normal(size=3)
+            rng.normal(size=3)
+            continue
         axis = rng.normal(size=3)
         axis /= np.linalg.norm(axis)
         ang = np.deg2rad(rot_deg)
@@ -67,6 +73,55 @@ def pose7_errors(pose7_a, pose7_b):
             "rot_deg_max": float(rot_deg.max()),
             "trans_mean": float(trans.mean()),
             "trans_max": float(trans.max())}
+
+
+def umeyama(src, dst, with_scale=False):
+    """Least-squares similarity/rigid transform: returns (s, R, t) with
+    ``s * R @ src_i + t ≈ dst_i`` (Umeyama 1991)."""
+    import numpy as np
+
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    xs, xd = src - mu_s, dst - mu_d
+    cov = xd.T @ xs / len(src)
+    u, d, vt = np.linalg.svd(cov)
+    sgn = np.ones(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        sgn[-1] = -1.0
+    rot = u @ np.diag(sgn) @ vt
+    scale = float((d * sgn).sum() / max(xs.var(0).sum(), 1e-12)) \
+        if with_scale else 1.0
+    t = mu_d - scale * rot @ mu_s
+    return scale, rot, t
+
+
+def aligned_pose7_errors(est7, gt7, with_scale=False):
+    """Pose errors after removing the best global SE(3) (or Sim(3)) gauge
+    transform: a photometric joint stage observes poses only up to a
+    global similarity (the unfrozen field absorbs any common drift), so
+    raw per-pose errors conflate gauge drift with real misregistration.
+    Aligns camera centers via Umeyama, applies the alignment rotation to
+    the orientations, and scores as ``pose7_errors``."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from vf_nerf_tpu.ops.rays import (matrix_to_pose7, pose7_to_matrix)
+
+    est = np.asarray(pose7_to_matrix(jnp.asarray(
+        np.asarray(est7, np.float64).astype(np.float32))), np.float64)
+    gt = np.asarray(pose7_to_matrix(jnp.asarray(
+        np.asarray(gt7, np.float64).astype(np.float32))), np.float64)
+    s, rot, t = umeyama(est[:, :3, 3], gt[:, :3, 3], with_scale)
+    aligned = est.copy()
+    aligned[:, :3, 3] = (s * est[:, :3, 3] @ rot.T) + t
+    aligned[:, :3, :3] = np.einsum("ij,njk->nik", rot, est[:, :3, :3])
+    a7 = np.asarray(matrix_to_pose7(jnp.asarray(
+        aligned.astype(np.float32))))
+    errs = pose7_errors(a7, np.asarray(gt7, np.float32))
+    errs["gauge_rot_deg"] = float(np.rad2deg(np.arccos(
+        np.clip((np.trace(rot) - 1.0) / 2.0, -1.0, 1.0))))
+    errs["gauge_trans"] = float(np.linalg.norm(t))
+    errs["gauge_scale"] = s
+    return errs
 
 
 def psnr_with_poses(model, dataset, poses, split_size=1024):
@@ -104,6 +159,11 @@ def main() -> None:
                              "(stabilizes long warmups; see joint_schema)")
     parser.add_argument("--rot-deg", type=float, default=1.5)
     parser.add_argument("--trans", type=float, default=0.02)
+    parser.add_argument("--anchor", action="store_true",
+                        help="gauge-anchored mode: view 0 keeps its GT "
+                             "pose (unperturbed) and train.anchor_first_"
+                             "pose pins it — raw errors then measure real "
+                             "misregistration, not gauge drift")
     parser.add_argument("--views", type=int, default=6)
     parser.add_argument("--size", type=int, nargs=2, default=[96, 128])
     parser.add_argument("--workdir", type=str, default="/tmp/vf_joint_eff")
@@ -165,6 +225,7 @@ train {{
     pose_lr = {args.pose_lr}
     pose_only_epochs = {pose_only}
     pose_lr_decay = {args.pose_lr_decay}
+    anchor_first_pose = {str(args.anchor).lower()}
 }}
 joint_optimization {{
     save_frequency = 1000000
@@ -195,11 +256,13 @@ joint_optimization {{
     print("== PSNR baseline (GT poses, pre-joint model) ==", flush=True)
     psnr_gt = psnr_with_poses(runner.model, ds, ds.poses)
 
-    perturbed = perturb_poses(ds.poses, args.rot_deg, args.trans, seed=1)
+    perturbed = perturb_poses(ds.poses, args.rot_deg, args.trans, seed=1,
+                              skip=(0,) if args.anchor else ())
     import jax.numpy as jnp
     pert7 = np.asarray(matrix_to_pose7(jnp.asarray(perturbed)))
     runner.pose_params = pert7.copy()
     err_before = pose7_errors(pert7, gt7)
+    err_before_se3 = aligned_pose7_errors(pert7, gt7)
     psnr_pert = psnr_with_poses(runner.model, ds, perturbed)
     print(f"perturbed: {err_before}  psnr {psnr_pert:.2f} "
           f"(gt baseline {psnr_gt:.2f})", flush=True)
@@ -209,8 +272,12 @@ joint_optimization {{
     metrics = runner.train()
     joint_s = time.perf_counter() - t0
     err_after = pose7_errors(runner.pose_params, gt7)
+    err_after_se3 = aligned_pose7_errors(runner.pose_params, gt7)
+    err_after_sim3 = aligned_pose7_errors(runner.pose_params, gt7,
+                                          with_scale=True)
     psnr_after = psnr_with_poses(runner.model, ds, runner.refined_poses())
-    print(f"recovered: {err_after}  psnr {psnr_after:.2f}", flush=True)
+    print(f"recovered: {err_after}  se3-aligned: {err_after_se3}  "
+          f"psnr {psnr_after:.2f}", flush=True)
 
     summary = {
         "note": ("joint-stage efficacy: poses perturbed after main-stage "
@@ -224,8 +291,12 @@ joint_optimization {{
         "pose_lr_decay": args.pose_lr_decay,
         "joint_wall_s": round(joint_s, 1),
         "joint_final_loss": metrics.get("loss"),
+        "anchor_first_pose": args.anchor,
         "pose_error_before": err_before,
+        "pose_error_before_aligned_se3": err_before_se3,
         "pose_error_after": err_after,
+        "pose_error_after_aligned_se3": err_after_se3,
+        "pose_error_after_aligned_sim3": err_after_sim3,
         "psnr_gt_baseline": psnr_gt,
         "psnr_perturbed": psnr_pert,
         "psnr_after_joint": psnr_after,

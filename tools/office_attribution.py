@@ -94,6 +94,53 @@ def field_crossings(model, segments):
     return out
 
 
+def per_group_render_errors(ds, out_dir):
+    """Rendered-vs-GT depth and RGB error per surface group — the desk/
+    column failure signature (rendered depth lands on the surface behind
+    while RGB is painted as view-dependent radiance). Reads the eval's
+    rendered_images dir (image-i.png + depth-i.npy)."""
+    import numpy as np
+
+    from vf_nerf_tpu.datasets.base import pixel_grid
+    from vf_nerf_tpu.datasets.synthetic import trace_rects
+    from vf_nerf_tpu.utils import io as io_utils
+
+    img_dir = os.path.join(out_dir, "rendered_images")
+    if not os.path.exists(os.path.join(img_dir, "depth-0.npy")):
+        return None
+    h, w = ds.image_size
+    uv = pixel_grid(h, w)
+    fx, fy = ds.intrinsics[0, 0], ds.intrinsics[1, 1]
+    cx, cy = ds.intrinsics[0, 2], ds.intrinsics[1, 2]
+    dirs_cam = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                         np.ones(h * w)], axis=-1)
+    depth_abs = np.zeros(len(GROUPS))
+    rgb_abs = np.zeros(len(GROUPS))
+    cnt = np.zeros(len(GROUPS), np.int64)
+    for i, pose in enumerate(ds.poses):
+        dirs = dirs_cam @ pose[:3, :3].T
+        _, group = trace_rects(pose[:3, 3][None], dirs, ds.rects)
+        gt_rgb = ds.rgb_images[i].reshape(-1, 3)
+        gt_depth = ds.depth_images[i].reshape(-1)
+        pred_rgb = io_utils.load_rgb(
+            os.path.join(img_dir, f"image-{i}.png"),
+            transpose=False).reshape(-1, 3)
+        pred_depth = np.load(
+            os.path.join(img_dir, f"depth-{i}.npy")).reshape(-1)
+        d_err = np.abs(pred_depth - gt_depth)
+        c_err = np.abs(pred_rgb - gt_rgb).mean(-1)
+        for g in range(len(GROUPS)):
+            m = group == g
+            depth_abs[g] += float(d_err[m].sum())
+            rgb_abs[g] += float(c_err[m].sum())
+            cnt[g] += int(m.sum())
+    return {name: {"mean_abs_depth_err": float(depth_abs[g] /
+                                               max(cnt[g], 1)),
+                   "mean_abs_rgb_err": float(rgb_abs[g] / max(cnt[g], 1)),
+                   "pixels": int(cnt[g])}
+            for g, name in enumerate(GROUPS) if cnt[g]}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", type=str, default="/tmp/vf_office")
@@ -116,49 +163,70 @@ def main() -> None:
                                 pitch_range=args.pitch)
     gt_v, gt_f = load_ply(os.path.join(args.workdir, "Replica",
                                        "office_mesh.ply"))
-    mesh = os.path.join(args.workdir, "evals", "office_office",
-                        "run_latest", "tsdf-mesh", "tsdf.ply")
-    pr_v, _ = load_ply(mesh)
+    out_dir = os.path.join(args.workdir, "evals", "office_office",
+                           "run_latest")
     gt_pts = sample_surface(gt_v, gt_f, args.samples, 0)
-    d, _ = _tree(pr_v).query(gt_pts, workers=-1)
-    missed = d > args.thresh
-
     obs = observed_mask(gt_pts, ds)
     g = group_attribution(gt_pts, ds.rects)
 
-    per_group = {}
-    for gi, name in enumerate(GROUPS):
-        m = g == gi
-        if not m.sum():
-            continue
-        mo = m & obs
-        per_group[name] = {
-            "gt_frac": float(m.mean()),
-            "observed_frac": float(obs[m].mean()),
-            "recall": float(1 - missed[m].mean()),
-            "recall_observed": (float(1 - missed[mo].mean())
-                                if mo.sum() else None),
+    def recall_attribution(pr_v):
+        d, _ = _tree(pr_v).query(gt_pts, workers=-1)
+        missed = d > args.thresh
+        per_group = {}
+        for gi, name in enumerate(GROUPS):
+            m = g == gi
+            if not m.sum():
+                continue
+            mo = m & obs
+            per_group[name] = {
+                "gt_frac": float(m.mean()),
+                "observed_frac": float(obs[m].mean()),
+                "recall": float(1 - missed[m].mean()),
+                "recall_observed": (float(1 - missed[mo].mean())
+                                    if mo.sum() else None),
+            }
+        return {
+            "recall_overall": float(1 - missed.mean()),
+            "observed_gt_fraction": float(obs.mean()),
+            "recall_observed": float(1 - missed[obs].mean()),
+            "recall_unobserved": float(1 - missed[~obs].mean()),
+            "distance_thresh": args.thresh,
+            "per_group": per_group,
         }
 
-    summary = {
-        "recall_overall": float(1 - missed.mean()),
-        "observed_gt_fraction": float(obs.mean()),
-        "recall_observed": float(1 - missed[obs].mean()),
-        "recall_unobserved": float(1 - missed[~obs].mean()),
-        "distance_thresh": args.thresh,
-        "per_group": per_group,
-    }
+    pr_v, _ = load_ply(os.path.join(out_dir, "tsdf-mesh", "tsdf.ply"))
+    summary = recall_attribution(pr_v)
+    # Same split for the headline quadrant-MC mesh when the protocol ran
+    # it (office_protocol --mc): the MC mesh is the field's own geometry,
+    # free of TSDF fusion's view-coverage limits.
+    mc_path = os.path.join(out_dir, "merged-mesh",
+                           "merged-mesh-scaled-latest.ply")
+    if os.path.exists(mc_path):
+        mc_v, _ = load_ply(mc_path)
+        if len(mc_v):
+            summary["mc_mesh"] = recall_attribution(mc_v)
+
+    errs = per_group_render_errors(ds, out_dir)
+    if errs is not None:
+        summary["render_errors_per_group"] = errs
     print(json.dumps(summary, indent=1), flush=True)
 
     # Field probes through the two free-standing occluders (scaled from the
     # layout authored at half_size=2: column x[-1.3,-0.9] y[-0.5,-0.1],
     # thin wall x[-0.3,-0.24] y[-1.7,-0.5]).
     s = ds.half_size / 2.0
+    # Layout authored at half_size=2: column x[-1.3,-0.9] y[-0.5,-0.1],
+    # thin wall x[-0.3,-0.24] y[-1.7,-0.5], desk x[0.7,1.5] y[-1.6,-0.9]
+    # z[-2,-1.25] (a low slab: top face at z=-1.25s).
     segments = {
         "through_column": ([-1.99 * s, -0.3 * s, 0.0],
                            [0.5 * s, -0.3 * s, 0.0], 250),
         "through_thin_wall": ([-0.8 * s, -1.0 * s, 0.0],
                               [0.3 * s, -1.0 * s, 0.0], 200),
+        "through_desk_horizontal": ([0.2 * s, -1.25 * s, -1.6 * s],
+                                    [1.9 * s, -1.25 * s, -1.6 * s], 250),
+        "through_desk_top": ([1.1 * s, -1.25 * s, -0.6 * s],
+                             [1.1 * s, -1.25 * s, -1.95 * s], 250),
     }
     try:
         from vf_nerf_tpu.config.parser import parse_config

@@ -77,6 +77,85 @@ def export_office(workdir, n_images, image_size, pitch):
     return ds
 
 
+def run_quadrant_mc(config, resolution, num_quadrants, eval_root,
+                    variants):
+    """The reference's headline mesh protocol on this run: quadrant
+    marching cubes at ``resolution`` (README.md:110-115 evaluates at 256
+    with 8 quadrants — r4 only ever ran the office at MC res 128).
+
+    ``variants``: subset of ("plain", "smoothed", "smoothed-after").
+    Returns the eval folder holding the merged-mesh-* directories.
+    """
+    from vf_nerf_tpu.datasets import dataset_dict
+    from vf_nerf_tpu.evaluation import methods
+    from vf_nerf_tpu.models.nerf import VectorFieldNerf
+    from vf_nerf_tpu.utils import io as io_utils
+
+    path_to_model = os.path.join(config.exps_folder, config.expname,
+                                 config.timestamp, "checkpoints", "vf_nerf",
+                                 f"{config.checkpoint}.ckpt")
+    config.vf_nerf_config.ray_sampler_config.perturb = False
+    config.vf_nerf_config.dir_to_normal_th = -0.2
+    model = VectorFieldNerf(config.vf_nerf_config)
+    model.load(path_to_model)
+    model.eval()
+
+    eval_folder = os.path.join(eval_root, config.expname,
+                               f"{config.timestamp}_{config.checkpoint}")
+    io_utils.mkdir_ifnotexists(eval_folder)
+    dataset = dataset_dict[config.dataset_config.dataset_name](
+        config.dataset_config)
+    name_of = {"plain": "merged-mesh", "smoothed": "merged-mesh-smoothed",
+               "smoothed-after": "merged-mesh-smoothed-after"}
+    for variant in variants:
+        methods.quadrant_marching_cubes(
+            model, resolution,
+            os.path.join(eval_folder, name_of[variant]),
+            config.checkpoint, scale=dataset.scale, max_batch=100000,
+            centroid=dataset.get_centroid(), num_quadrants=num_quadrants,
+            smooth_after=(variant == "smoothed-after"),
+            smooth_all=(variant == "smoothed"))
+    return eval_folder
+
+
+def score_mc_meshes(eval_folder, workdir, checkpoint="latest",
+                    distance_thresh=0.05, n_samples=1000000):
+    """Chamfer + P/R/F of each merged MC mesh (world coords) vs the GT
+    mesh — the reference computes 3d-metrics only on TSDF variants, so
+    this is the missing quantitative readout of the headline MC mesh."""
+    import numpy as np
+
+    from vf_nerf_tpu.utils.meshes import (chamfer_distance, nn_distances,
+                                          precision_recall_fscore,
+                                          sample_surface)
+    from vf_nerf_tpu.utils.ply import load_ply
+
+    gt_v, gt_f = load_ply(os.path.join(workdir, "Replica",
+                                       "office_mesh.ply"))
+    gt_pts = sample_surface(gt_v, gt_f, n_samples, seed=0)
+    out = {}
+    for variant in ("merged-mesh", "merged-mesh-smoothed",
+                    "merged-mesh-smoothed-after"):
+        path = os.path.join(eval_folder, variant,
+                            f"merged-mesh-scaled-{checkpoint}.ply")
+        if not os.path.exists(path):
+            continue
+        v, f = load_ply(path)
+        if not len(v):
+            out[variant] = {"error": "empty mesh"}
+            continue
+        pred = sample_surface(v, f, n_samples, seed=0)
+        dists = nn_distances(pred, gt_pts)
+        entry = {"chamfer distance":
+                 chamfer_distance(pred, gt_pts, distances=dists)}
+        entry.update(precision_recall_fscore(pred, gt_pts,
+                                             distance_thresh,
+                                             distances=dists))
+        entry["n_vertices"] = int(len(v))
+        out[variant] = entry
+    return out
+
+
 def group_psnr_breakdown(ds, img_dir):
     """Per-object-group PSNR: which surfaces (walls / block / column /
     thin wall / desk) carry the error."""
@@ -122,11 +201,20 @@ def main() -> None:
     parser.add_argument("--size", type=int, nargs=2, default=[240, 320])
     parser.add_argument("--pitch", type=float, default=1.1)
     parser.add_argument("--epochs", type=int, default=2000)
-    parser.add_argument("--resolution", type=int, default=128,
-                        help="MC grid resolution (thin wall is sub-voxel "
-                             "at 64)")
+    parser.add_argument("--resolution", type=int, default=256,
+                        help="MC grid resolution (the reference headline "
+                             "evaluates at 256 with 8 quadrants, "
+                             "README.md:110-115; thin wall is ~2 voxels "
+                             "at 128)")
     parser.add_argument("--workdir", type=str, default="/tmp/vf_office")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--mc", type=str, default="plain",
+                        choices=("none", "plain", "trio"),
+                        help="quadrant-MC variants to extract+score: "
+                             "'trio' = the reference's plain/smoothed/"
+                             "smoothed-after set, 'plain' = the raw mesh "
+                             "only (cohort-speed), 'none' = skip")
+    parser.add_argument("--quadrants", type=int, default=8)
     parser.add_argument("--depth-clamp", type=float, default=None,
                         help="override loss.config.depth_loss_clamp "
                              "(reference default 0.5, vf_loss.py:28-29). "
@@ -184,6 +272,20 @@ def main() -> None:
         timings[method] = round(time.perf_counter() - t0, 1)
         print(f"{method}: {timings[method]}s", flush=True)
 
+    mc_metrics = None
+    if args.mc != "none":
+        variants = (("plain",) if args.mc == "plain" else
+                    ("plain", "smoothed", "smoothed-after"))
+        t0 = time.perf_counter()
+        eval_folder = run_quadrant_mc(config2, args.resolution,
+                                      args.quadrants, eval_root, variants)
+        timings["quadrant-mc"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        mc_metrics = score_mc_meshes(eval_folder, args.workdir)
+        timings["mc-metrics"] = round(time.perf_counter() - t0, 1)
+        print(f"quadrant-mc: {timings['quadrant-mc']}s, scoring: "
+              f"{timings['mc-metrics']}s", flush=True)
+
     out_dir = os.path.join(eval_root, "office_office", "run_latest")
     with open(os.path.join(out_dir, "metrics.json")) as f:
         metrics = json.load(f)
@@ -213,6 +315,10 @@ def main() -> None:
         "metrics_3d": m3d,
         "eval_wall_s": timings,
     }
+    if mc_metrics is not None:
+        summary["mc"] = {"resolution": args.resolution,
+                         "num_quadrants": args.quadrants,
+                         "metrics_3d_mc": mc_metrics}
     with open(os.path.join(args.workdir, "office.json"), "w") as f:
         json.dump(summary, f, indent=1)
     brief = {k: summary[k] for k in ("mean_psnr", "train_wall_s")}

@@ -43,6 +43,14 @@ class TrainConfig:
     # tolerates). The decay anneals the step size toward the floor
     # ``pose_lr * pose_lr_decay``, which the post-warmup phase then uses.
     pose_lr_decay: float = 1.0
+    # Gauge anchor (r5): a photometric joint stage observes poses only up
+    # to a global similarity — the unfrozen field absorbs any common
+    # drift, so per-pose translation error vs GT can GROW while the
+    # relative configuration converges (the r4 efficacy run: raw trans
+    # 0.020→0.043 alongside rot 1.5°→0.157°). Anchoring zeroes pose 0's
+    # gradient, pinning the gauge to that camera's frame — the standard
+    # fix-one-camera normalization.
+    anchor_first_pose: bool = False
 
 
 @dataclass

@@ -153,8 +153,20 @@ class JointOptimizationRunner:
                     "poses": "poses"}
         model_tx = optax.set_to_zero() if freeze_model else \
             optax.adam(self._model_lr)
+        pose_tx = optax.adam(pose_lr)
+        if tc.anchor_first_pose:
+            # Gauge anchor: zero pose 0's gradient BEFORE adam (so its
+            # moments never accumulate) — the first camera's frame pins
+            # the global similarity the photometric loss cannot observe.
+            def _zero_row0(updates, state, params=None):
+                return jax.tree_util.tree_map(
+                    lambda u: u.at[0].set(0.0), updates), state
+            pose_tx = optax.chain(
+                optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                             _zero_row0),
+                pose_tx)
         return optax.multi_transform(
-            {"model": model_tx, "poses": optax.adam(pose_lr)}, labels)
+            {"model": model_tx, "poses": pose_tx}, labels)
 
     # ----------------------------------------------------------- bases
     def dominant_bases(self) -> np.ndarray:
