@@ -396,3 +396,43 @@ class TestProtocolConfPatch:
         p.write_text("loss { config { depth_loss_clamp = 0.7 } }\n")
         with pytest.raises(RuntimeError, match="refusing"):
             apply_depth_clamp(str(p), 3.0)
+
+    def test_mask_invalid_depth_patch_parses(self, tmp_path):
+        """r5 corruption study: the mask flag lands inside loss.config
+        (stacked with a clamp patch) and parses to the schema field."""
+        self._tools_path()
+        from convergence_variance import write_conf
+        from office_protocol import (apply_depth_clamp,
+                                     apply_mask_invalid_depth)
+
+        from vf_nerf_tpu.config.parser import parse_config
+
+        conf_path = write_conf(str(tmp_path), epochs=5)
+        apply_depth_clamp(conf_path, 3.0)
+        apply_mask_invalid_depth(conf_path)
+        config = parse_config(scene="boxroom", config_path=conf_path,
+                              expname="t", timestamp="run",
+                              data_root_dir=str(tmp_path), offline=True)
+        assert config.vf_loss_config.mask_invalid_depth is True
+        assert config.vf_loss_config.depth_loss_clamp == 3.0
+        # default stays off (reference parity)
+        conf2 = write_conf(str(tmp_path), epochs=5)
+        config2 = parse_config(scene="boxroom", config_path=conf2,
+                               expname="t", timestamp="run2",
+                               data_root_dir=str(tmp_path), offline=True)
+        assert config2.vf_loss_config.mask_invalid_depth is False
+
+    def test_corrupt_depth_stats(self):
+        self._tools_path()
+        from office_protocol import corrupt_depth
+
+        depth = np.full((8, 1000, 1), 2.0, np.float32)
+        out = corrupt_depth(depth, dropout=0.15, noise_sigma=0.02, seed=7)
+        holes = (out == 0.0).mean()
+        assert 0.10 < holes < 0.20
+        valid = out[out > 0]
+        assert abs(valid.mean() - 2.0) < 0.01
+        assert 0.01 < valid.std() < 0.04
+        assert (out >= 0).all()
+        # clean path untouched
+        np.testing.assert_array_equal(corrupt_depth(depth, 0.0, 0.0), depth)

@@ -127,6 +127,81 @@ class TestTrainStep:
         assert float(late["norm_smaller_than_one_loss"]) == pytest.approx(
             expected, rel=1e-5)
 
+    def test_invalid_depth_semantics(self):
+        """r5 sensor-corruption study: by default a zero-depth (hole)
+        pixel contributes min(|pred - 0|, clamp) — the reference's
+        unmasked L1 (vf_loss.py:28-29,48), a constant pull toward the
+        camera. With ``mask_invalid_depth`` the hole is excluded and the
+        loss equals the valid-subset mean."""
+        import dataclasses
+
+        from vf_nerf_tpu.models.loss import vf_loss
+
+        pred_depth = jnp.asarray([[2.0], [0.3], [1.4], [0.9]])
+        gt_depth = jnp.asarray([[2.1], [0.0], [1.0], [0.0]])  # 2 holes
+        preds = {"rgb": jnp.zeros((4, 3)), "depth": pred_depth,
+                 "normals": jnp.ones((4, 3))}
+        gts = {"rgb": jnp.zeros((4, 3)), "depth": gt_depth}
+        _, default = vf_loss(preds, gts, [], LOSS_WEIGHTS, LOSS_CONFIG,
+                             jnp.asarray(0))
+        clamp = LOSS_CONFIG.depth_loss_clamp
+        per = np.minimum(np.abs(np.asarray(pred_depth - gt_depth)), clamp)
+        assert float(default["depth_loss"]) == pytest.approx(
+            per.mean(), rel=1e-6)
+
+        masked_cfg = dataclasses.replace(LOSS_CONFIG,
+                                         mask_invalid_depth=True)
+        _, masked = vf_loss(preds, gts, [], LOSS_WEIGHTS, masked_cfg,
+                            jnp.asarray(0))
+        assert float(masked["depth_loss"]) == pytest.approx(
+            per[[0, 2]].mean(), rel=1e-6)
+
+    @pytest.mark.skipif(not __import__("reference_oracle",
+                                       fromlist=["reference_available"]
+                                       ).reference_available(),
+                        reason="reference repo not mounted")
+    def test_invalid_depth_oracle_parity(self):
+        """The unmasked default matches the reference VFLoss bit-close on
+        a batch containing zero-depth holes."""
+        import torch
+        from reference_oracle import add_reference_to_path
+        add_reference_to_path()
+        from models.losses.vf_loss import VFLoss as RefLoss
+
+        class _Cfg:
+            depth_loss_clamp = LOSS_CONFIG.depth_loss_clamp
+            norm_smaller_than_one_start = \
+                LOSS_CONFIG.norm_smaller_than_one_start
+            directional_derivatives_start = \
+                LOSS_CONFIG.directional_derivatives_start
+
+        rng = np.random.RandomState(0)
+        pd = rng.uniform(0.1, 3.0, (32, 1)).astype(np.float32)
+        gd = rng.uniform(0.5, 3.0, (32, 1)).astype(np.float32)
+        gd[rng.rand(32) < 0.25] = 0.0  # sensor holes
+        rgb = rng.rand(32, 3).astype(np.float32)
+        normals = rng.randn(32, 3).astype(np.float32)
+
+        from vf_nerf_tpu.models.loss import vf_loss
+        _, ours = vf_loss({"rgb": jnp.asarray(rgb),
+                           "depth": jnp.asarray(pd),
+                           "normals": jnp.asarray(normals)},
+                          {"rgb": jnp.asarray(rgb * 0.5),
+                           "depth": jnp.asarray(gd)},
+                          [], LOSS_WEIGHTS, LOSS_CONFIG, jnp.asarray(0))
+
+        ref = RefLoss(_Cfg(), LOSS_WEIGHTS)
+        t = torch.from_numpy
+        _, ref_terms = ref(
+            {"rgb": t(pd * 0 + rgb), "depth": t(pd),
+             "normals": t(normals),
+             "supervised_normals": torch.zeros(0),
+             "directional_derivatives": None},
+            {"rgb": t(rgb * 0.5), "depth": t(gd),
+             "supervised_normals": torch.zeros(0)}, 0)
+        assert float(ours["depth_loss"]) == pytest.approx(
+            ref_terms["depth_loss"], rel=1e-6)
+
     def test_density_params_receive_gradients(self):
         _, _, state, step, _, batch, args = build(init_field=True)
         before = jax.tree_util.tree_map(np.asarray, state.params["density"])

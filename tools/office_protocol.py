@@ -54,7 +54,43 @@ def apply_depth_clamp(conf_path: str, value: float) -> None:
         f.write(conf.replace(anchor, f"depth_loss_clamp = {value}"))
 
 
-def export_office(workdir, n_images, image_size, pitch):
+def corrupt_depth(depth, dropout, noise_sigma, seed=123):
+    """Sensor-corruption model for the robustness study (VERDICT r4 #6):
+    real ScanNet/Replica depth has holes (zeros) and noise; every oracle
+    scene ships perfect depth. ``dropout`` zeroes each pixel iid with
+    that probability (sensor holes); ``noise_sigma`` adds iid Gaussian
+    noise in scene units to the surviving pixels (clipped at 0)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = depth.copy()
+    if noise_sigma > 0:
+        out = np.maximum(out + rng.normal(0, noise_sigma, out.shape)
+                         .astype(out.dtype), 0.0)
+    if dropout > 0:
+        out *= (rng.rand(*out.shape) >= dropout).astype(out.dtype)
+    return out
+
+
+def apply_mask_invalid_depth(conf_path: str) -> None:
+    """Arm ``loss.config.mask_invalid_depth`` (the hole-mitigation knob;
+    guarded like ``apply_depth_clamp``)."""
+    with open(conf_path) as f:
+        conf = f.read()
+    anchor = "depth_loss_clamp = "
+    if anchor not in conf:
+        raise RuntimeError(f"{conf_path} has no '{anchor}' line to anchor "
+                           "the mask_invalid_depth insert")
+    lines = conf.splitlines()
+    i = next(n for n, l in enumerate(lines) if anchor in l)
+    indent = lines[i][:len(lines[i]) - len(lines[i].lstrip())]
+    lines.insert(i + 1, f"{indent}mask_invalid_depth = true")
+    with open(conf_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def export_office(workdir, n_images, image_size, pitch,
+                  depth_dropout=0.0, depth_noise=0.0):
     import pickle
 
     import numpy as np
@@ -64,7 +100,16 @@ def export_office(workdir, n_images, image_size, pitch):
 
     ds = SyntheticOfficeDataset(n_images=n_images, image_size=image_size,
                                 pixels_per_batch=1024, pitch_range=pitch)
-    ds.export_replica_format(workdir, scene="office")
+    if depth_dropout > 0 or depth_noise > 0:
+        # Corrupt the SENSOR depth the training run sees (exported maps);
+        # the GT mesh and RGB stay clean, so eval still scores against
+        # truth. The in-process ds keeps clean depths for attribution.
+        clean = ds.depth_images
+        ds.depth_images = corrupt_depth(clean, depth_dropout, depth_noise)
+        ds.export_replica_format(workdir, scene="office")
+        ds.depth_images = clean
+    else:
+        ds.export_replica_format(workdir, scene="office")
     wall_radius = ds.max_depth * 1.25 / 2.0
     params, stats = fit_vf_init(default_vf_config(), "exterior_scene",
                                 np.zeros(3),
@@ -215,6 +260,16 @@ def main() -> None:
                              "smoothed-after set, 'plain' = the raw mesh "
                              "only (cohort-speed), 'none' = skip")
     parser.add_argument("--quadrants", type=int, default=8)
+    parser.add_argument("--depth-dropout", type=float, default=0.0,
+                        help="sensor-hole probability applied to exported "
+                             "depth maps (robustness study)")
+    parser.add_argument("--depth-noise", type=float, default=0.0,
+                        help="Gaussian depth-noise sigma in scene units")
+    parser.add_argument("--mask-invalid", action="store_true",
+                        help="arm loss.config.mask_invalid_depth (exclude "
+                             "zero-depth pixels from the depth loss; "
+                             "default reproduces the reference's unmasked "
+                             "L1, vf_loss.py:28-29)")
     parser.add_argument("--depth-clamp", type=float, default=None,
                         help="override loss.config.depth_loss_clamp "
                              "(reference default 0.5, vf_loss.py:28-29). "
@@ -235,10 +290,13 @@ def main() -> None:
     print(f"== exporting office ({args.views} views @ {args.size}) "
           "+ generic vf-init ==", flush=True)
     ds = export_office(args.workdir, args.views, tuple(args.size),
-                       args.pitch)
+                       args.pitch, depth_dropout=args.depth_dropout,
+                       depth_noise=args.depth_noise)
     conf_path = write_conf(args.workdir, args.epochs)
     if args.depth_clamp is not None:
         apply_depth_clamp(conf_path, args.depth_clamp)
+    if args.mask_invalid:
+        apply_mask_invalid_depth(conf_path)
 
     print(f"== training seed {args.seed} ({args.epochs} epochs x "
           f"{args.views} steps) ==", flush=True)
@@ -302,6 +360,9 @@ def main() -> None:
         "epochs": args.epochs, "seed": args.seed,
         "depth_loss_clamp": (0.5 if args.depth_clamp is None
                              else args.depth_clamp),
+        "depth_dropout": args.depth_dropout,
+        "depth_noise_sigma": args.depth_noise,
+        "mask_invalid_depth": args.mask_invalid,
         "mc_resolution": args.resolution,
         "train_wall_s": round(train_s, 1),
         "train_rays_per_sec": round(

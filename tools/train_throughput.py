@@ -49,6 +49,13 @@ def main() -> None:
     parser.add_argument("--platform", type=str, default="",
                         help="JAX platform override (e.g. cpu to validate "
                              "the tool without touching the chip)")
+    parser.add_argument("--attribution", action="store_true",
+                        help="(with --pure) FLOP-attribute the train step: "
+                             "XLA cost analysis of the compiled span step "
+                             "(total) plus render-forward, render-fwd+bwd "
+                             "and adam sub-budgets; reports effective "
+                             "TFLOP/s against the measured step time "
+                             "(VERDICT r4 #8)")
     args = parser.parse_args()
 
     from vf_nerf_tpu.config.parser import parse_config
@@ -204,13 +211,133 @@ joint_optimization {{
                                        centroid, *tables)
         int(jax.device_get(state.step))
         elapsed = time.perf_counter() - t0
+        per_step_s = elapsed / (reps * spd)
         print(json.dumps({
             "metric": "pure span-step rays/sec (device-resident inputs)",
             "value": round(reps * spd * n_rays / elapsed, 1),
             "unit": "rays/sec",
-            "per_step_ms": round(elapsed / (reps * spd) * 1e3, 2),
+            "per_step_ms": round(per_step_s * 1e3, 2),
             "n_rays": n_rays,
         }), flush=True)
+
+        if args.attribution:
+            # FLOP attribution (VERDICT r4 #8): XLA cost analysis of the
+            # exact compiled span program (everything: fwd, bwd,
+            # supervision, adam, metric sums), plus sub-budgets lowered
+            # separately. Lowering uses ShapeDtypeStructs (no live arrays —
+            # the span step donates). NOTE: cost_analysis counts a
+            # while/scan BODY ONCE, not x trip-count (verified in-process
+            # below), so the span program's flops ARE one step's flops —
+            # no division by steps_per_dispatch.
+            import optax
+
+            def _scan_cost_probe():
+                def make(n):
+                    def f(x, w):
+                        def body(c, _):
+                            return jnp.tanh(c @ w), None
+                        return jax.lax.scan(body, x, None, length=n)[0]
+                    return jax.jit(f)
+                s = jax.ShapeDtypeStruct((128, 128), jnp.float32)
+                fl = []
+                for n in (2, 8):
+                    c = make(n).lower(s, s).compile().cost_analysis()
+                    if isinstance(c, (list, tuple)):
+                        c = c[0] if c else {}
+                    fl.append(float(c.get("flops", float("nan"))))
+                assert fl[0] == fl[1], (
+                    "XLA cost_analysis multiplies scan bodies by trip "
+                    f"count on this version ({fl}); the attribution must "
+                    "divide the span program's flops by steps_per_dispatch")
+
+            _scan_cost_probe()
+
+            def abstract(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                                   jnp.result_type(x)),
+                    tree)
+
+            def cost(jitted, *abs_args):
+                c = jitted.lower(*abs_args).compile().cost_analysis()
+                if isinstance(c, (list, tuple)):
+                    c = c[0] if c else {}
+                return {"flops": float(c.get("flops", float("nan"))),
+                        "bytes": float(c.get("bytes accessed",
+                                             float("nan")))}
+
+            total = cost(span_step, abstract(state), abstract(fed),
+                         abstract(aux), abstract(near), abstract(far),
+                         abstract(centroid),
+                         *[abstract(t) for t in tables])
+
+            from vf_nerf_tpu.parallel.train_step import make_loss_fn
+
+            # The EXACT loss closure the compiled step differentiates
+            # (same statics/supervision/BN-quirk semantics).
+            statics, sup = runner._step_statics()
+            loss_fn = make_loss_fn(runner.model.modules, statics, sup,
+                                   config.vf_loss_weights,
+                                   config.vf_loss_config)
+            params_abs = abstract(state.params)
+            bs_abs = abstract(state.batch_stats)
+            batch_ex = {k: v[:n_rays] for k, v in batches[0].items()
+                        if v.size > 0}
+            batch_abs = abstract({k: jnp.asarray(v)
+                                  for k, v in batch_ex.items()})
+            key_abs = abstract(jax.random.PRNGKey(0))
+            scalar = jax.ShapeDtypeStruct((), jnp.float32)
+            epoch_abs = jax.ShapeDtypeStruct((), jnp.int32)
+            c_abs = jax.ShapeDtypeStruct((3,), jnp.float32)
+            def fwd_fn(params, bstats, batch, k1, k2, ep, w, nr, fr, cen):
+                return loss_fn(params, bstats, batch, k1, k2, ep, w, nr,
+                               fr, cen)[0]
+
+            args_abs = (params_abs, bs_abs, batch_abs, key_abs, key_abs,
+                        epoch_abs, abstract(window), scalar, scalar, c_abs)
+            loss_fwd = cost(jax.jit(fwd_fn), *args_abs)
+
+            def fwd_bwd_fn(params, bstats, batch, k1, k2, ep, w, nr, fr,
+                           cen):
+                return jax.value_and_grad(fwd_fn)(params, bstats, batch,
+                                                  k1, k2, ep, w, nr, fr,
+                                                  cen)
+
+            loss_grad = cost(jax.jit(fwd_bwd_fn), *args_abs)
+
+            # Optimizer-only budget: the model's REAL transform (adam +
+            # clip + the duplicate-VF quirk), lowered on abstract grads.
+            tx = runner.model.optimizer
+            opt_abs = jax.eval_shape(tx.init, params_abs)
+
+            def opt_step(g, s, p):
+                u, s2 = tx.update(g, s, p)
+                return optax.apply_updates(p, u), s2
+
+            adam = cost(jax.jit(opt_step), params_abs, opt_abs, params_abs)
+
+            n_params = sum(int(np.prod(x.shape)) for x in
+                           jax.tree_util.tree_leaves(params_abs))
+            step_flops = total["flops"]  # scan body counted once (probe)
+            residual = step_flops - loss_grad["flops"] - adam["flops"]
+            print(json.dumps({
+                "metric": "train-step FLOP attribution",
+                "steps_per_dispatch": spd,
+                "n_rays": n_rays,
+                "fine_samples": runner.model.fine_n_samples,
+                "n_params": n_params,
+                "total_flops_per_step": step_flops,
+                "loss_forward_flops": loss_fwd["flops"],
+                "loss_fwd_bwd_flops": loss_grad["flops"],
+                "backward_flops": loss_grad["flops"] - loss_fwd["flops"],
+                "optimizer_flops": adam["flops"],
+                "misc_flops_residual": residual,
+                "hbm_bytes_per_step": total["bytes"],
+                "measured_per_step_ms": round(per_step_s * 1e3, 3),
+                "effective_tflops_per_sec": round(
+                    step_flops / per_step_s / 1e12, 2),
+                "flops_per_ray": round(step_flops / n_rays),
+            }), flush=True)
         return
 
     if args.span:

@@ -194,6 +194,14 @@ class VFLossConfig:
     norm_smaller_than_one_start: int
     depth_loss_clamp: float
     directional_derivatives_start: int = 100
+    # Invalid-depth semantics (r5): the reference's depth L1 has NO
+    # validity mask (``models/losses/vf_loss.py:28-29,48``) — a sensor
+    # hole (depth 0) contributes |pred - 0| clamped at depth_loss_clamp,
+    # i.e. a constant-magnitude pull toward the camera; raising the clamp
+    # (the occluder-recovery knob) amplifies it. Default False reproduces
+    # that; True excludes gt_depth <= 0 pixels from the depth-loss mean
+    # (the corruption study's mitigation knob).
+    mask_invalid_depth: bool = False
 
 
 @dataclass

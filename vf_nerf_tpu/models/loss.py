@@ -69,7 +69,16 @@ def vf_loss(predictions: Dict[str, jnp.ndarray],
     gt_depth = ground_truth.get("depth")
     if gt_depth is not None and gt_depth.size > 0:
         per_elem = jnp.abs(predictions["depth"] - gt_depth)
-        depth_loss = jnp.mean(jnp.minimum(per_elem, config.depth_loss_clamp))
+        per_elem = jnp.minimum(per_elem, config.depth_loss_clamp)
+        if getattr(config, "mask_invalid_depth", False):
+            # Sensor-hole mitigation (r5, off by default for reference
+            # parity — see VFLossConfig.mask_invalid_depth): masked mean
+            # over valid (depth > 0) pixels; static shapes, no gathers.
+            valid = (gt_depth > 0).astype(per_elem.dtype)
+            depth_loss = jnp.sum(per_elem * valid) / jnp.maximum(
+                jnp.sum(valid), 1.0)
+        else:
+            depth_loss = jnp.mean(per_elem)
     else:
         depth_loss = jnp.asarray(0.0, rgb_loss.dtype)
 

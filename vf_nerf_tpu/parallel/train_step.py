@@ -200,6 +200,46 @@ def unpack_batch_compact(packed: jnp.ndarray, pose_table: jnp.ndarray,
             "intrinsics": jnp.broadcast_to(intrinsics, (n, 4, 4))}
 
 
+def make_loss_fn(modules: VFNerfModules,
+                 statics: RenderStatics,
+                 sup: SupervisionStatics,
+                 loss_weights: VFLossWeights,
+                 loss_config: VFLossConfig):
+    """The exact per-step loss closure the train step differentiates,
+    exported standalone for FLOP attribution
+    (``tools/train_throughput.py --attribution``): lowering this (and its
+    ``value_and_grad``) yields forward / forward+backward budgets with the
+    same semantics as the compiled step — supervision terms, BN mode
+    quirk, static fine masking and all."""
+
+    def loss_fn(params, batch_stats, batch, k_render, k_sup, epoch,
+                window_weights, near, far, centroid,
+                n_fine_active=None, n_points_active=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = render_rays(modules, variables, batch["uv"], batch["pose"],
+                          batch["intrinsics"], near, far, window_weights,
+                          k_render, statics, n_fine_active=n_fine_active)
+        terms = _supervision_terms(modules, variables, out, k_sup, far,
+                                   centroid, sup, statics.train,
+                                   n_points_active=n_points_active)
+        predictions = {
+            "rgb": out["rgb"],
+            "depth": out["depth"],
+            "normals": out["normals"].reshape(-1, 3),
+        }
+        if "sample_mask" in out:
+            predictions["sample_mask"] = out["sample_mask"].reshape(-1)
+        if "dir_derivative_norms" in out:
+            predictions["dir_derivative_norms"] = \
+                out["dir_derivative_norms"]
+        ground_truth = {"rgb": batch["rgb"], "depth": batch.get("depth")}
+        total, parts = vf_loss(predictions, ground_truth, terms,
+                               loss_weights, loss_config, epoch)
+        return total, (parts, out.get("batch_stats_updates"))
+
+    return loss_fn
+
+
 def _train_step_body(modules: VFNerfModules,
                      optimizer: optax.GradientTransformation,
                      statics: RenderStatics,
@@ -235,30 +275,14 @@ def _train_step_body(modules: VFNerfModules,
             n_points_active = jnp.maximum(
                 (n_rays * (statics.n_coarse + n_fine_active)) // 10, 1)
 
+        shared_loss = make_loss_fn(modules, statics, sup, loss_weights,
+                                   loss_config)
+
         def loss_fn(params):
-            variables = {"params": params,
-                         "batch_stats": state.batch_stats}
-            out = render_rays(modules, variables, batch["uv"], batch["pose"],
-                              batch["intrinsics"], near, far, window_weights,
-                              k_render, statics,
-                              n_fine_active=n_fine_active)
-            terms = _supervision_terms(modules, variables, out, k_sup, far,
-                                       centroid, sup, statics.train,
-                                       n_points_active=n_points_active)
-            predictions = {
-                "rgb": out["rgb"],
-                "depth": out["depth"],
-                "normals": out["normals"].reshape(-1, 3),
-            }
-            if "sample_mask" in out:
-                predictions["sample_mask"] = out["sample_mask"].reshape(-1)
-            if "dir_derivative_norms" in out:
-                predictions["dir_derivative_norms"] = \
-                    out["dir_derivative_norms"]
-            ground_truth = {"rgb": batch["rgb"], "depth": batch.get("depth")}
-            total, parts = vf_loss(predictions, ground_truth, terms,
-                                   loss_weights, loss_config, epoch)
-            return total, (parts, out.get("batch_stats_updates"))
+            return shared_loss(params, state.batch_stats, batch, k_render,
+                               k_sup, epoch, window_weights, near, far,
+                               centroid, n_fine_active=n_fine_active,
+                               n_points_active=n_points_active)
 
         (loss, (parts, bn_updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
