@@ -1,6 +1,7 @@
 """Tests for offline tools: COLMAP reader/converter, LLFF loader, pose
 utilities, schedules, plots, profiling hooks."""
 
+import json
 import os
 import struct
 
@@ -436,3 +437,55 @@ class TestProtocolConfPatch:
         assert (out >= 0).all()
         # clean path untouched
         np.testing.assert_array_equal(corrupt_depth(depth, 0.0, 0.0), depth)
+
+
+class TestOfficeCohort:
+    """r5 cohort assembler (tools/office_cohort.py): merges per-seed
+    protocol + attribution artifacts into results/office_r5.json with a
+    cohort median."""
+
+    def _write_seed(self, d, seed, psnr, fscore):
+        office = {
+            "views": 24, "image_size": [240, 320], "epochs": 2000,
+            "depth_loss_clamp": 3.0, "mc_resolution": 256, "seed": seed,
+            "train_wall_s": 100.0, "train_rays_per_sec": 30000.0,
+            "mean_psnr": psnr,
+            "group_psnr": {"floor": {"psnr": psnr, "pixel_frac": 0.09}},
+            "mc": {"metrics_3d_mc": {"merged-mesh": {
+                "fscore": fscore, "recall": fscore + 0.02,
+                "precision": fscore - 0.02,
+                "chamfer distance": {"mean": 0.005}}}},
+        }
+        with open(os.path.join(d, f"office_s{seed}.json"), "w") as f:
+            json.dump(office, f)
+        attr = {"observed_gt_fraction": 0.77,
+                "mc_mesh": {"recall_observed": 0.99,
+                            "recall_unobserved": 0.9},
+                "per_group": {"floor": {"observed_frac": 0.7}}}
+        with open(os.path.join(d, f"attribution_s{seed}.json"), "w") as f:
+            json.dump(attr, f)
+
+    def test_assemble_median(self, tmp_path):
+        self._tools_path()
+        from office_cohort import assemble, load_cohort
+        d = str(tmp_path)
+        for seed, psnr, f in [(42, 43.9, 0.917), (1, 42.0, 0.90),
+                              (2, 44.5, 0.95), (3, 41.0, 0.88),
+                              (7, 43.0, 0.92)]:
+            self._write_seed(d, seed, psnr, f)
+        runs = load_cohort(d)
+        assert sorted(runs) == [1, 2, 3, 7, 42]
+        out = assemble(runs, 42)
+        assert out["cohort_median"]["mc_fscore"] == 0.917
+        assert out["cohort_median"]["mean_psnr"] == 43.0
+        assert out["headline"]["seed"] == 42
+        assert out["cohort"]["42"]["mc_recall_observed"] == 0.99
+        with pytest.raises(SystemExit):
+            assemble(runs, 99)
+
+    def _tools_path(self):
+        import sys
+        tools = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools")
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
