@@ -489,3 +489,40 @@ class TestOfficeCohort:
             os.path.abspath(__file__))), "tools")
         if tools not in sys.path:
             sys.path.insert(0, tools)
+
+
+class TestDeskDecompose:
+    """r5 desk-failure decomposition (tools/desk_decompose.py): perfect
+    renders score ~lossless on every split, and the top/side + edge/
+    interior partition covers exactly the desk pixels."""
+
+    def test_perfect_render_decomposition(self, tmp_path):
+        import sys
+        tools = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools")
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
+        from desk_decompose import decompose
+
+        from vf_nerf_tpu.datasets.synthetic import SyntheticOfficeDataset
+        from vf_nerf_tpu.utils import io as io_utils
+
+        ds = SyntheticOfficeDataset(n_images=6, image_size=(30, 40),
+                                    pixels_per_batch=16, pitch_range=1.1)
+        img_dir = os.path.join(str(tmp_path), "rendered_images")
+        os.makedirs(img_dir)
+        h, w = ds.image_size
+        for i in range(ds.n_images):
+            io_utils.save_rgb(os.path.join(img_dir, f"image-{i}.png"),
+                              ds.rgb_images[i].reshape(h, w, 3))
+            np.save(os.path.join(img_dir, f"depth-{i}.npy"),
+                    ds.depth_images[i].reshape(h, w))
+        out = decompose(ds, str(tmp_path))
+        split_px = sum(v.get("pixels", 0) for v in out["splits"].values())
+        assert split_px == out["desk_pixels_total"]
+        assert len(out["per_view_desk_pixel_frac"]) == 6
+        for key, row in out["splits"].items():
+            if row.get("pixels"):
+                # PNG quantization bounds the PSNR; depth npy is exact
+                assert row["psnr"] > 40, (key, row)
+                assert row["mean_abs_depth_err"] < 1e-5, (key, row)
