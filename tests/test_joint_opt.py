@@ -109,6 +109,37 @@ class TestGaugeAlignment:
         assert aligned["rot_deg_mean"] > 1.0
         assert aligned["trans_mean"] > 0.02
 
+    def test_score_from_excludes_pinned_view(self):
+        """Anchor mode pins pose 0 at exactly-zero error; score_from=1
+        keeps it out of the error means so anchored/unanchored numbers
+        stay comparable (review r5 finding)."""
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from joint_efficacy import aligned_pose7_errors, pose7_errors
+
+        from joint_efficacy import perturb_poses
+
+        n = 12
+        gt = self._poses(n=n)
+        # the anchor-mode scenario: pose 0 exact, views 1..n-1 perturbed
+        est = perturb_poses(gt, rot_deg=2.0, trans=0.05, seed=0,
+                            skip=(0,))
+        gt7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            gt.astype(np.float32))))
+        est7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            est.astype(np.float32))))
+        full = pose7_errors(est7, gt7)
+        sliced = pose7_errors(est7[1:], gt7[1:])
+        # including the pinned view dilutes the means by (n-1)/n
+        assert full["trans_mean"] == pytest.approx(
+            sliced["trans_mean"] * (n - 1) / n, rel=1e-4)
+        assert sliced["trans_mean"] == pytest.approx(0.05, rel=1e-3)
+        al0 = aligned_pose7_errors(est7, gt7)
+        al1 = aligned_pose7_errors(est7, gt7, score_from=1)
+        assert al1["trans_mean"] > al0["trans_mean"]  # dilution removed
+
 
 class TestGeometryUtils:
     def test_sphere_intersections(self):

@@ -94,13 +94,17 @@ def umeyama(src, dst, with_scale=False):
     return scale, rot, t
 
 
-def aligned_pose7_errors(est7, gt7, with_scale=False):
+def aligned_pose7_errors(est7, gt7, with_scale=False, score_from=0):
     """Pose errors after removing the best global SE(3) (or Sim(3)) gauge
     transform: a photometric joint stage observes poses only up to a
     global similarity (the unfrozen field absorbs any common drift), so
     raw per-pose errors conflate gauge drift with real misregistration.
-    Aligns camera centers via Umeyama, applies the alignment rotation to
-    the orientations, and scores as ``pose7_errors``."""
+    Aligns camera centers via Umeyama (over ALL poses — a pinned pose 0
+    anchors the fit), applies the alignment rotation to the orientations,
+    and scores as ``pose7_errors``. ``score_from`` excludes the first
+    views from the error MEANS (anchor mode pins pose 0 at exactly-zero
+    error, which would dilute anchored-vs-unanchored comparisons by
+    1/n)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -116,7 +120,8 @@ def aligned_pose7_errors(est7, gt7, with_scale=False):
     aligned[:, :3, :3] = np.einsum("ij,njk->nik", rot, est[:, :3, :3])
     a7 = np.asarray(matrix_to_pose7(jnp.asarray(
         aligned.astype(np.float32))))
-    errs = pose7_errors(a7, np.asarray(gt7, np.float32))
+    errs = pose7_errors(a7[score_from:],
+                        np.asarray(gt7, np.float32)[score_from:])
     errs["gauge_rot_deg"] = float(np.rad2deg(np.arccos(
         np.clip((np.trace(rot) - 1.0) / 2.0, -1.0, 1.0))))
     errs["gauge_trans"] = float(np.linalg.norm(t))
@@ -261,8 +266,12 @@ joint_optimization {{
     import jax.numpy as jnp
     pert7 = np.asarray(matrix_to_pose7(jnp.asarray(perturbed)))
     runner.pose_params = pert7.copy()
-    err_before = pose7_errors(pert7, gt7)
-    err_before_se3 = aligned_pose7_errors(pert7, gt7)
+    # In anchor mode pose 0 is pinned at exactly-zero error; keep it out
+    # of the error MEANS so anchored/unanchored numbers stay comparable
+    # (the perturbations of views 1..n-1 are draw-identical across modes).
+    sf = 1 if args.anchor else 0
+    err_before = pose7_errors(pert7[sf:], gt7[sf:])
+    err_before_se3 = aligned_pose7_errors(pert7, gt7, score_from=sf)
     psnr_pert = psnr_with_poses(runner.model, ds, perturbed)
     print(f"perturbed: {err_before}  psnr {psnr_pert:.2f} "
           f"(gt baseline {psnr_gt:.2f})", flush=True)
@@ -271,10 +280,11 @@ joint_optimization {{
     t0 = time.perf_counter()
     metrics = runner.train()
     joint_s = time.perf_counter() - t0
-    err_after = pose7_errors(runner.pose_params, gt7)
-    err_after_se3 = aligned_pose7_errors(runner.pose_params, gt7)
+    err_after = pose7_errors(runner.pose_params[sf:], gt7[sf:])
+    err_after_se3 = aligned_pose7_errors(runner.pose_params, gt7,
+                                         score_from=sf)
     err_after_sim3 = aligned_pose7_errors(runner.pose_params, gt7,
-                                          with_scale=True)
+                                          with_scale=True, score_from=sf)
     psnr_after = psnr_with_poses(runner.model, ds, runner.refined_poses())
     print(f"recovered: {err_after}  se3-aligned: {err_after_se3}  "
           f"psnr {psnr_after:.2f}", flush=True)
@@ -292,6 +302,7 @@ joint_optimization {{
         "joint_wall_s": round(joint_s, 1),
         "joint_final_loss": metrics.get("loss"),
         "anchor_first_pose": args.anchor,
+        "error_means_exclude_anchored_view": bool(sf),
         "pose_error_before": err_before,
         "pose_error_before_aligned_se3": err_before_se3,
         "pose_error_after": err_after,

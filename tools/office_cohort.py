@@ -40,11 +40,14 @@ def load_cohort(logdir):
     return runs
 
 
-def mc_fscore(office):
-    """The protocol's merged quadrant-MC mesh F-score (plain variant)."""
+def mc_mesh_metrics(office):
+    """The protocol's merged quadrant-MC mesh metrics (plain variant), or
+    None for a seed that ran ``--mc none`` / produced an error record."""
     mc = office.get("mc", {}).get("metrics_3d_mc", {})
     mesh = mc.get("merged-mesh")
-    return mesh["fscore"] if mesh else None
+    if not isinstance(mesh, dict) or "fscore" not in mesh:
+        return None
+    return mesh
 
 
 def assemble(runs, headline_seed):
@@ -54,15 +57,14 @@ def assemble(runs, headline_seed):
     cohort = {}
     for seed, r in sorted(runs.items()):
         office, attr = r["office"], r["attribution"]
+        mesh = mc_mesh_metrics(office)
         row = {
             "mean_psnr": office["mean_psnr"],
-            "mc_fscore": mc_fscore(office),
-            "mc_recall": office["mc"]["metrics_3d_mc"]["merged-mesh"]
-                         ["recall"],
-            "mc_precision": office["mc"]["metrics_3d_mc"]["merged-mesh"]
-                            ["precision"],
-            "chamfer_mean": office["mc"]["metrics_3d_mc"]["merged-mesh"]
-                            ["chamfer distance"]["mean"],
+            "mc_fscore": mesh["fscore"] if mesh else None,
+            "mc_recall": mesh["recall"] if mesh else None,
+            "mc_precision": mesh["precision"] if mesh else None,
+            "chamfer_mean": (mesh["chamfer distance"]["mean"]
+                             if mesh else None),
             "train_wall_s": office["train_wall_s"],
             "train_rays_per_sec": office["train_rays_per_sec"],
             "floor_pixel_frac": office["group_psnr"]["floor"]
@@ -77,8 +79,9 @@ def assemble(runs, headline_seed):
                 attr["per_group"]["floor"]["observed_frac"]
         cohort[seed] = row
 
-    med = lambda k: statistics.median(
-        v[k] for v in cohort.values() if v.get(k) is not None)
+    def med(k):
+        vals = [v[k] for v in cohort.values() if v.get(k) is not None]
+        return statistics.median(vals) if vals else None
     headline = runs[headline_seed]["office"]
     out = {
         "note": ("round-5 office headline: stratified-pitch rig "

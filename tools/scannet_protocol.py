@@ -50,10 +50,19 @@ def write_scannet_conf(workdir: str, epochs: int, crop: int,
     conf = conf.replace('data_dir = "Replica"',
                         f'data_dir = "ScanNet"\n    crop_edge = {crop}')
     conf += "\ndevice { static_fine_growth = True }\n"
-    # Non-convergence gate armed per scene: 1.2x the matching cohort
-    # median final loss (box: results/variance_r3.json median 0.00478;
-    # office: r4 3-seed cohort median 0.0174 at the default clamp).
-    thr = 0.00574 if scene_type == "box" else 0.021
+    # Non-convergence gate armed per scene AND clamp: 1.2x the matching
+    # cohort median final loss (box: results/variance_r3.json median
+    # 0.00478; office at the default clamp 0.5: r4 3-seed cohort median
+    # 0.0174; office at clamp 3.0: the un-clamped depth term converges
+    # LOWER — 0.0072-0.0083 across the r4 clamp run and the r5 cohort —
+    # so keeping the 0.021 bar would sit ~2.5x above the operating point
+    # and let a 2x-bad run pass).
+    if scene_type == "box":
+        thr = 0.00574
+    elif depth_clamp is not None and depth_clamp >= 3.0:
+        thr = 0.010
+    else:
+        thr = 0.021
     conf += f"\ntrain {{ convergence_loss_threshold = {thr} }}\n"
     with open(conf_path, "w") as f:
         f.write(conf)
