@@ -109,6 +109,41 @@ class TestGaugeAlignment:
         assert aligned["rot_deg_mean"] > 1.0
         assert aligned["trans_mean"] > 0.02
 
+    def test_clustered_rig_no_spurious_gauge(self):
+        """Regression (r5): on an inward-looking rig whose camera centers
+        cluster in a ~0.1-unit blob (SyntheticBoxDataset draws centers
+        within ±0.16·half_size), a center-only Umeyama gauge fit is
+        ill-conditioned — 0.02 iid center noise over 6 views produced a
+        spurious 3.5-3.9° "gauge" rotation that INFLATED the aligned
+        errors past the raw ones. The orientation-first fit must stay
+        near identity on iid (non-gauge) perturbations."""
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from joint_efficacy import aligned_pose7_errors, perturb_poses
+        from scipy.spatial.transform import Rotation
+
+        n = 6
+        gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        gt[:, :3, :3] = Rotation.random(n, random_state=5).as_matrix()
+        # clustered centers, like the box rig's uniform(-.4,.4)*hs*0.4
+        gt[:, :3, 3] = np.random.RandomState(5).uniform(
+            -0.16, 0.16, (n, 3))
+        est = perturb_poses(gt, rot_deg=1.5, trans=0.02, seed=1)
+        gt7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            gt.astype(np.float32))))
+        est7 = np.asarray(matrix_to_pose7(jnp.asarray(
+            est.astype(np.float32))))
+        aligned = aligned_pose7_errors(est7, gt7)
+        # the fitted gauge must be small (chordal mean of iid 1.5°
+        # rotations ≈ 1.5/√6 ≈ 0.6°), not the degrees-scale artifact
+        # the center fit produced, and alignment must not inflate the
+        # raw error (1.5°) by more than that small gauge.
+        assert aligned["gauge_rot_deg"] < 1.0
+        assert aligned["rot_deg_mean"] < 1.5 + 1.0
+        assert aligned["trans_mean"] < 0.04
+
     def test_score_from_excludes_pinned_view(self):
         """Anchor mode pins pose 0 at exactly-zero error; score_from=1
         keeps it out of the error means so anchored/unanchored numbers

@@ -94,17 +94,53 @@ def umeyama(src, dst, with_scale=False):
     return scale, rot, t
 
 
+def gauge_fit(est, dst_rots, dst_centers, with_scale=False):
+    """Best global gauge ``(s, R, t)`` with aligned_R_i = R @ est_R_i and
+    aligned_c_i = s * R @ est_c_i + t, estimated ORIENTATION-FIRST:
+
+    1. R from the chordal-L2 rotation mean — ``R = argmax tr(Rᵀ M)`` with
+       ``M = Σ gt_R_i @ est_R_iᵀ`` (SVD projection, det-corrected).
+    2. Given R, scale from center spreads and t from the center means.
+
+    A center-only Umeyama fit (``umeyama`` above) is ill-conditioned on
+    this repo's inward-looking rigs: camera centers cluster in a blob of
+    ~0.1 units (`SyntheticBoxDataset._make_poses` draws them within
+    ±0.16·half_size of the origin), so with 6 views and 0.02 iid center
+    noise the center-fit rotation wanders by DEGREES (measured 3.5-3.9°
+    spurious gauge on iid perturbations, round-5 artifacts) — it overfits
+    noise instead of measuring gauge. Orientations constrain the gauge
+    rotation independently of center geometry."""
+    import numpy as np
+
+    m = np.einsum("nij,nkj->ik", dst_rots, est[:, :3, :3])
+    u, _, vt = np.linalg.svd(m)
+    sgn = np.ones(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        sgn[-1] = -1.0
+    rot = u @ np.diag(sgn) @ vt
+    src_c = est[:, :3, 3]
+    mu_s, mu_d = src_c.mean(0), dst_centers.mean(0)
+    xs, xd = src_c - mu_s, dst_centers - mu_d
+    scale = 1.0
+    if with_scale:
+        denom = float((xs * xs).sum())
+        if denom > 1e-12:
+            scale = float((xd * (xs @ rot.T)).sum() / denom)
+    t = mu_d - scale * rot @ mu_s
+    return scale, rot, t
+
+
 def aligned_pose7_errors(est7, gt7, with_scale=False, score_from=0):
     """Pose errors after removing the best global SE(3) (or Sim(3)) gauge
     transform: a photometric joint stage observes poses only up to a
     global similarity (the unfrozen field absorbs any common drift), so
     raw per-pose errors conflate gauge drift with real misregistration.
-    Aligns camera centers via Umeyama (over ALL poses — a pinned pose 0
-    anchors the fit), applies the alignment rotation to the orientations,
-    and scores as ``pose7_errors``. ``score_from`` excludes the first
-    views from the error MEANS (anchor mode pins pose 0 at exactly-zero
-    error, which would dilute anchored-vs-unanchored comparisons by
-    1/n)."""
+    Fits the gauge orientation-first (see ``gauge_fit`` — a center-only
+    Umeyama is ill-conditioned on clustered inward-looking rigs), applies
+    it to the poses, and scores as ``pose7_errors``. ``score_from``
+    excludes the first views from the error MEANS (anchor mode pins pose
+    0 at exactly-zero error, which would dilute anchored-vs-unanchored
+    comparisons by 1/n)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -114,7 +150,7 @@ def aligned_pose7_errors(est7, gt7, with_scale=False, score_from=0):
         np.asarray(est7, np.float64).astype(np.float32))), np.float64)
     gt = np.asarray(pose7_to_matrix(jnp.asarray(
         np.asarray(gt7, np.float64).astype(np.float32))), np.float64)
-    s, rot, t = umeyama(est[:, :3, 3], gt[:, :3, 3], with_scale)
+    s, rot, t = gauge_fit(est, gt[:, :3, :3], gt[:, :3, 3], with_scale)
     aligned = est.copy()
     aligned[:, :3, 3] = (s * est[:, :3, 3] @ rot.T) + t
     aligned[:, :3, :3] = np.einsum("ij,njk->nik", rot, est[:, :3, :3])
@@ -149,6 +185,48 @@ def psnr_with_poses(model, dataset, poses, split_size=1024):
     return float(np.mean(psnrs))
 
 
+def rescore(workdir: str) -> None:
+    """Recompute the raw + gauge-aligned pose errors of a finished run
+    from its on-disk state and rewrite ``joint_efficacy.json`` in place
+    (PSNRs and wall times are kept from the original summary)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from flax import serialization
+    from vf_nerf_tpu.ops.rays import matrix_to_pose7
+
+    summary_path = os.path.join(workdir, "joint_efficacy.json")
+    with open(summary_path) as f:
+        summary = json.load(f)
+    gt = np.loadtxt(os.path.join(
+        workdir, "Replica", "boxroom", "traj.txt")).reshape(-1, 4, 4)
+    ckpt = os.path.join(workdir, "exps", "eff_boxroom", "joint",
+                        "checkpoints", "vf_nerf", "latest.ckpt")
+    with open(ckpt, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    rec7 = np.asarray(raw["poses"])
+    anchor = bool(summary.get("anchor_first_pose"))
+    pert = perturb_poses(gt.astype(np.float32),
+                         summary["perturbation"]["rot_deg"],
+                         summary["perturbation"]["trans"], seed=1,
+                         skip=(0,) if anchor else ())
+    gt7 = np.asarray(matrix_to_pose7(jnp.asarray(gt.astype(np.float32))))
+    pert7 = np.asarray(matrix_to_pose7(jnp.asarray(pert)))
+    sf = 1 if anchor else 0
+    summary["pose_error_before"] = pose7_errors(pert7[sf:], gt7[sf:])
+    summary["pose_error_before_aligned_se3"] = aligned_pose7_errors(
+        pert7, gt7, score_from=sf)
+    summary["pose_error_after"] = pose7_errors(rec7[sf:], gt7[sf:])
+    summary["pose_error_after_aligned_se3"] = aligned_pose7_errors(
+        rec7, gt7, score_from=sf)
+    summary["pose_error_after_aligned_sim3"] = aligned_pose7_errors(
+        rec7, gt7, with_scale=True, score_from=sf)
+    summary["gauge_fit"] = "orientation-first (see gauge_fit docstring)"
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("JOINT_EFFICACY " + json.dumps(summary), flush=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=1500,
@@ -172,9 +250,20 @@ def main() -> None:
     parser.add_argument("--views", type=int, default=6)
     parser.add_argument("--size", type=int, nargs=2, default=[96, 128])
     parser.add_argument("--workdir", type=str, default="/tmp/vf_joint_eff")
+    parser.add_argument("--rescore", action="store_true",
+                        help="re-score a FINISHED run in --workdir (GT "
+                             "poses from the exported traj.txt, recovered "
+                             "poses from the joint checkpoint, perturbed "
+                             "poses re-drawn at the recorded settings) "
+                             "without retraining — used after the r5 "
+                             "gauge-fit fix to rescore chip runs")
     args = parser.parse_args()
 
     import numpy as np
+
+    if args.rescore:
+        rescore(args.workdir)
+        return
 
     from convergence_variance import export_scene, write_conf
 
