@@ -297,3 +297,44 @@ class TestOfficeDataset:
         foot = sum((hi[0] - lo[0]) * (hi[1] - lo[1])
                    for lo, hi in solids[1:])  # column, thin wall, desk
         assert floor_area == pytest.approx(l_area - foot, rel=1e-9)
+
+
+class TestDeskTaskViews:
+    """extra_down_views (round-5 desk study): task cameras aimed at the
+    desk top. tools/desk_decompose.py measured the desk TOP failing with
+    only 2/24 ring views grazing it; this knob adds the downward views the
+    decomposition prescribes."""
+
+    def test_task_views_look_at_desk_top(self):
+        from vf_nerf_tpu.datasets.synthetic import G_DESK
+
+        ds = SyntheticOfficeDataset(n_images=8, image_size=(16, 24),
+                                    pixels_per_batch=96, seed=0,
+                                    extra_down_views=3)
+        assert ds.poses.shape[0] == 11
+        assert ds.rgb_images.shape[0] == 11
+        desk_lo, desk_hi = ds.solids[-1]
+        for pose in ds.poses[-3:]:
+            fwd = pose[:3, 2]
+            assert fwd[2] < -0.3          # pitched downward
+            # The central ray hits the desk's top face.
+            t, group = trace_rects(pose[:3, 3][None], fwd[None], ds.rects)
+            assert group[0] == G_DESK
+            hit = pose[:3, 3] + t[0] * fwd
+            assert hit[2] == pytest.approx(desk_hi[2], abs=1e-6)
+        # Cameras (ring + task) all sit in free space with clearance.
+        centers = ds.poses[:, :3, 3]
+        assert point_in_free_space(centers, ds.half_size, ds.solids).all()
+        _, d, _ = rect_closest_points(centers, ds.rects)
+        assert (d >= 0.3).all()
+
+    def test_zero_task_views_is_bit_identical(self):
+        """extra_down_views=0 must not perturb the shipped rig (the r5
+        cohort artifacts were produced by it): same RNG stream, same
+        poses bit-for-bit."""
+        a = SyntheticOfficeDataset(n_images=6, image_size=(8, 12),
+                                   pixels_per_batch=96, seed=0)
+        b = SyntheticOfficeDataset(n_images=6, image_size=(8, 12),
+                                   pixels_per_batch=96, seed=0,
+                                   extra_down_views=0)
+        np.testing.assert_array_equal(a.poses, b.poses)

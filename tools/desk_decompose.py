@@ -111,6 +111,9 @@ def main() -> None:
     parser.add_argument("--views", type=int, default=24)
     parser.add_argument("--size", type=int, nargs=2, default=[240, 320])
     parser.add_argument("--pitch", type=float, default=1.1)
+    parser.add_argument("--down-views", type=int, default=0,
+                        help="must match the protocol's --down-views so "
+                             "the rebuilt rig matches the trained poses")
     args = parser.parse_args()
 
     from vf_nerf_tpu.datasets.synthetic import SyntheticOfficeDataset
@@ -118,7 +121,8 @@ def main() -> None:
     ds = SyntheticOfficeDataset(n_images=args.views,
                                 image_size=tuple(args.size),
                                 pixels_per_batch=64,
-                                pitch_range=args.pitch)
+                                pitch_range=args.pitch,
+                                extra_down_views=args.down_views)
     out_dir = os.path.join(args.workdir, "evals", "office_office",
                            "run_latest")
     result = decompose(ds, out_dir)

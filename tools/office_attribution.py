@@ -149,6 +149,9 @@ def main() -> None:
     parser.add_argument("--pitch", type=float, default=1.1)
     parser.add_argument("--thresh", type=float, default=0.05)
     parser.add_argument("--samples", type=int, default=250000)
+    parser.add_argument("--down-views", type=int, default=0,
+                        help="must match the protocol's --down-views so "
+                             "the rebuilt rig matches the trained poses")
     args = parser.parse_args()
 
     import numpy as np
@@ -160,7 +163,8 @@ def main() -> None:
     ds = SyntheticOfficeDataset(n_images=args.views,
                                 image_size=tuple(args.size),
                                 pixels_per_batch=64,
-                                pitch_range=args.pitch)
+                                pitch_range=args.pitch,
+                                extra_down_views=args.down_views)
     gt_v, gt_f = load_ply(os.path.join(args.workdir, "Replica",
                                        "office_mesh.ply"))
     out_dir = os.path.join(args.workdir, "evals", "office_office",

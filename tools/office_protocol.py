@@ -90,7 +90,7 @@ def apply_mask_invalid_depth(conf_path: str) -> None:
 
 
 def export_office(workdir, n_images, image_size, pitch,
-                  depth_dropout=0.0, depth_noise=0.0):
+                  depth_dropout=0.0, depth_noise=0.0, extra_down_views=0):
     import pickle
 
     import numpy as np
@@ -99,7 +99,8 @@ def export_office(workdir, n_images, image_size, pitch,
     from vf_nerf_tpu.train.vf_init import default_vf_config, fit_vf_init
 
     ds = SyntheticOfficeDataset(n_images=n_images, image_size=image_size,
-                                pixels_per_batch=1024, pitch_range=pitch)
+                                pixels_per_batch=1024, pitch_range=pitch,
+                                extra_down_views=extra_down_views)
     if depth_dropout > 0 or depth_noise > 0:
         # Corrupt the SENSOR depth the training run sees (exported maps);
         # the GT mesh and RGB stay clean, so eval still scores against
@@ -260,6 +261,12 @@ def main() -> None:
                              "smoothed-after set, 'plain' = the raw mesh "
                              "only (cohort-speed), 'none' = skip")
     parser.add_argument("--quadrants", type=int, default=8)
+    parser.add_argument("--down-views", type=int, default=0,
+                        help="extra task views aimed down at the desk top "
+                             "(round-5 desk study: the desk TOP fails "
+                             "because only 2/24 ring views graze it; this "
+                             "knob verifies 'more downward views' is the "
+                             "fix, per tools/desk_decompose.py)")
     parser.add_argument("--depth-dropout", type=float, default=0.0,
                         help="sensor-hole probability applied to exported "
                              "depth maps (robustness study)")
@@ -287,11 +294,13 @@ def main() -> None:
         shutil.rmtree(args.workdir)
     os.makedirs(args.workdir)
 
-    print(f"== exporting office ({args.views} views @ {args.size}) "
-          "+ generic vf-init ==", flush=True)
+    total_views = args.views + args.down_views
+    print(f"== exporting office ({args.views} ring + {args.down_views} "
+          f"desk-task views @ {args.size}) + generic vf-init ==", flush=True)
     ds = export_office(args.workdir, args.views, tuple(args.size),
                        args.pitch, depth_dropout=args.depth_dropout,
-                       depth_noise=args.depth_noise)
+                       depth_noise=args.depth_noise,
+                       extra_down_views=args.down_views)
     conf_path = write_conf(args.workdir, args.epochs)
     if args.depth_clamp is not None:
         apply_depth_clamp(conf_path, args.depth_clamp)
@@ -299,7 +308,7 @@ def main() -> None:
         apply_mask_invalid_depth(conf_path)
 
     print(f"== training seed {args.seed} ({args.epochs} epochs x "
-          f"{args.views} steps) ==", flush=True)
+          f"{total_views} steps) ==", flush=True)
     os.environ["VFNERF_SEED"] = str(args.seed)
     from vf_nerf_tpu.config.parser import parse_config
     from vf_nerf_tpu.train.runner import VectorFieldNerfRunner
@@ -356,7 +365,8 @@ def main() -> None:
                  "(tools/office_protocol.py): L-shaped room + column + "
                  "thin free-standing wall + desk, per-object textures, "
                  "generic exterior_scene VF init"),
-        "views": args.views, "image_size": args.size,
+        "views": total_views, "ring_views": args.views,
+        "down_views": args.down_views, "image_size": args.size,
         "epochs": args.epochs, "seed": args.seed,
         "depth_loss_clamp": (0.5 if args.depth_clamp is None
                              else args.depth_clamp),
@@ -366,7 +376,7 @@ def main() -> None:
         "mc_resolution": args.resolution,
         "train_wall_s": round(train_s, 1),
         "train_rays_per_sec": round(
-            args.epochs * args.views * 1024 / train_s, 1),
+            args.epochs * total_views * 1024 / train_s, 1),
         "final_epoch_loss": final_loss,
         "mean_psnr": metrics["mean_psnr"],
         "per_image_psnr": {k: v["psnr"] for k, v in metrics.items()

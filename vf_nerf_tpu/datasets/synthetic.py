@@ -562,17 +562,19 @@ class SyntheticOfficeDataset(SyntheticBoxDataset):
                  all_pixels: bool = False,
                  seed: int = 0,
                  train: bool = True,
-                 pitch_range: float = 1.1) -> None:
+                 pitch_range: float = 1.1,
+                 extra_down_views: int = 0) -> None:
         if config is not None:
             pixels_per_batch = config.pixels_per_batch
             shuffle_views = config.shuffle_views
             all_pixels = config.all_pixels
-        BaseDataset.__init__(self, n_images=n_images,
+        BaseDataset.__init__(self, n_images=n_images + extra_down_views,
                              shuffle_views=shuffle_views,
                              pixels_per_batch=pixels_per_batch,
                              all_pixels=all_pixels)
         self.half_size = half_size
         self.pitch_range = pitch_range
+        self.extra_down_views = extra_down_views
         self.image_size = image_size
         self.rects, self.solids = office_layout(half_size)
         h, w = image_size
@@ -601,10 +603,20 @@ class SyntheticOfficeDataset(SyntheticBoxDataset):
         over ``[-pitch_range, pitch_range]`` (jittered within strata, like
         yaw) and assigned to cameras through a seeded permutation so pitch
         stays decorrelated from the stratified yaw — every seed covers
-        floor and ceiling views by construction."""
+        floor and ceiling views by construction.
+
+        ``extra_down_views`` appends task views over the desk (round-5
+        desk study): the desk decomposition (`tools/desk_decompose.py`)
+        measured that the desk TOP fails because only 2 of 24 ring views
+        graze it obliquely — the honest fix is views that actually look
+        down at it. Task cameras are rejection-sampled in free space in
+        the upper half of the room near the desk, aimed at jittered
+        targets on the desk's top face. With ``extra_down_views=0`` the
+        RNG stream and poses are bit-identical to the ring-only rig."""
         clearance = 0.35 * self.half_size / 2.0
+        n_ring = self.n_images - self.extra_down_views
         positions = []
-        while len(positions) < self.n_images:
+        while len(positions) < n_ring:
             cand = rng.uniform(-1.0, 1.0, 3)
             cand *= np.array([1.0, 1.0, 0.55]) * (self.half_size - clearance)
             if not point_in_free_space(cand[None], self.half_size,
@@ -615,13 +627,13 @@ class SyntheticOfficeDataset(SyntheticBoxDataset):
                 continue
             positions.append(cand.astype(np.float32))
 
-        pitch_order = rng.permutation(self.n_images)
+        pitch_order = rng.permutation(n_ring)
         poses = []
         for i, pos in enumerate(positions):
-            yaw = 2 * np.pi * i / self.n_images + rng.uniform(-0.2, 0.2)
+            yaw = 2 * np.pi * i / n_ring + rng.uniform(-0.2, 0.2)
             pitch = self.pitch_range * (
                 -1.0 + 2.0 * (pitch_order[i] + rng.uniform())
-                / self.n_images)
+                / n_ring)
             forward = np.array([np.cos(pitch) * np.cos(yaw),
                                 np.cos(pitch) * np.sin(yaw),
                                 np.sin(pitch)], np.float32)
@@ -634,7 +646,49 @@ class SyntheticOfficeDataset(SyntheticBoxDataset):
             pose[:3, :3] = rot
             pose[:3, 3] = pos
             poses.append(pose)
+
+        # Desk task views: above the desk's z-band, laterally within a
+        # widened desk footprint, looking at the top face.
+        desk_lo, desk_hi = self.solids[-1]
+        pad = 0.45 * self.half_size / 2.0
+        while len(poses) < self.n_images:
+            cand = np.array([
+                rng.uniform(desk_lo[0] - pad, desk_hi[0] + pad),
+                rng.uniform(desk_lo[1] - pad, desk_hi[1] + pad),
+                rng.uniform(0.0, 0.55 * (self.half_size - clearance))],
+                np.float64)
+            if not point_in_free_space(cand[None], self.half_size,
+                                       self.solids)[0]:
+                continue
+            _, d, _ = rect_closest_points(cand[None], self.rects)
+            if d[0] < clearance:
+                continue
+            target = np.array([
+                rng.uniform(desk_lo[0], desk_hi[0]),
+                rng.uniform(desk_lo[1], desk_hi[1]),
+                desk_hi[2]], np.float64)
+            poses.append(self._look_at_pose(cand.astype(np.float32),
+                                            target.astype(np.float32)))
         return np.stack(poses)
+
+    @staticmethod
+    def _look_at_pose(pos: np.ndarray, target: np.ndarray) -> np.ndarray:
+        forward = np.asarray(target, np.float32) - np.asarray(pos,
+                                                              np.float32)
+        forward = forward / np.linalg.norm(forward)
+        up = np.array([0, 0, 1], np.float32)
+        right = np.cross(forward, up)
+        nr = np.linalg.norm(right)
+        if nr < 1e-6:                       # looking straight up/down
+            right = np.cross(forward, np.array([1, 0, 0], np.float32))
+            nr = np.linalg.norm(right)
+        right = right / nr
+        down = np.cross(forward, right)
+        rot = np.stack([right, down, forward], axis=1)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = rot
+        pose[:3, 3] = pos
+        return pose
 
     def _render_gt(self) -> Tuple[np.ndarray, np.ndarray]:
         from vf_nerf_tpu.datasets.base import pixel_grid
