@@ -25,7 +25,7 @@ LOSS_CONFIG = VFLossConfig(norm_smaller_than_one_start=11000,
 
 
 def build(n_rays=32, n_fine=6, init_method="exterior_synthetic",
-          init_field=False):
+          init_field=False, remat="none"):
     cfg = tiny_config()
     modules = VFNerfModules(cfg)
     variables = modules.init_variables(jax.random.PRNGKey(0))
@@ -54,7 +54,7 @@ def build(n_rays=32, n_fine=6, init_method="exterior_synthetic",
         cfg, init_method, n_rays=n_rays,
         n_samples=statics.n_coarse + statics.n_fine, border_radius=0.15)
     raw_step = make_train_step(modules, optimizer, statics, sup,
-                               LOSS_WEIGHTS, LOSS_CONFIG)
+                               LOSS_WEIGHTS, LOSS_CONFIG, remat=remat)
 
     def step(state, batch, key, epoch, **kw):
         """Single-step wrapper: fresh sums per call → per-step metrics."""
@@ -271,3 +271,29 @@ def test_scan_step_equals_sequential_steps():
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), state_a.batch_stats,
         state_b.batch_stats)
+
+
+@pytest.mark.parametrize("remat", ["full", "dots"])
+def test_remat_step_matches_baseline(remat):
+    """train_remat ("full"/"dots") is a pure performance knob: the remat'd
+    step must produce the same loss and the same updated params as the
+    default path (same program, backward recomputed — the step is
+    HBM-roofline-bound on chip, results/train_flop_attribution_r5.json).
+    Tolerance covers fp reassociation from the recomputation."""
+    _, _, state0, step0, _, batch, args = build(init_field=True)
+    _, _, state1, step1, _, _, _ = build(init_field=True, remat=remat)
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state0.params, state1.params)
+
+    key = jax.random.PRNGKey(3)
+    for i in range(3):
+        state0, m0 = step0(state0, batch, key, jnp.asarray(i, jnp.int32),
+                           **args)
+        state1, m1 = step1(state1, batch, key, jnp.asarray(i, jnp.int32),
+                           **args)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+        state0.params, state1.params)

@@ -46,6 +46,13 @@ def main() -> None:
                         help="measure the joint pose+field stage "
                              "(train/joint_runner.py scan dispatch) instead "
                              "of the main trainer")
+    parser.add_argument("--remat", type=str, default="none",
+                        choices=["none", "full", "dots"],
+                        help="train_remat device knob A/B: rematerialize "
+                             "the loss backward (the step is HBM-roofline-"
+                             "bound, results/train_flop_attribution_r5"
+                             ".json, so trading recompute FLOPs for "
+                             "residual bytes is the headroom direction)")
     parser.add_argument("--platform", type=str, default="",
                         help="JAX platform override (e.g. cpu to validate "
                              "the tool without touching the chip)")
@@ -153,6 +160,7 @@ joint_optimization {{
         config.vf_nerf_config.device_config.static_fine_growth = True
     if args.spd:
         config.vf_nerf_config.device_config.steps_per_dispatch = args.spd
+    config.vf_nerf_config.device_config.train_remat = args.remat
     runner = VectorFieldNerfRunner(config)
     n_rays = runner._batch_rays()
     steps_per_epoch = len(runner.dataset)
@@ -218,6 +226,7 @@ joint_optimization {{
             "unit": "rays/sec",
             "per_step_ms": round(per_step_s * 1e3, 2),
             "n_rays": n_rays,
+            "remat": args.remat,
         }), flush=True)
 
         if args.attribution:

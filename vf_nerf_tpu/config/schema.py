@@ -124,6 +124,16 @@ class DeviceConfig:
     # independent per-sample work — so float32 (bit-level reference
     # parity) is the right default everywhere.
     compute_dtype: str = "float32"
+    # Gradient rematerialization for the train step's loss closure
+    # ("none" | "full" | "dots"). The step is HBM-roofline-bound
+    # (results/train_flop_attribution_r5.json: 26.5 GB/step vs 1.22
+    # TFLOP at 22% MXU utilization), so trading recompute FLOPs for
+    # stored-activation bytes is the only remaining headroom direction.
+    # "full" = jax.checkpoint(loss) saving nothing; "dots" = save matmul
+    # outputs only (jax.checkpoint_policies.dots_with_no_batch_dims_
+    # saveable). Gradients are exact either way (same math, recomputed);
+    # default "none" keeps the bit-level reference-parity path.
+    train_remat: str = "none"
 
 
 @dataclass

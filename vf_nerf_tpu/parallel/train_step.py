@@ -240,12 +240,36 @@ def make_loss_fn(modules: VFNerfModules,
     return loss_fn
 
 
+def _remat_wrap(loss_fn, remat: str):
+    """Optionally rematerialize the loss closure's backward pass.
+
+    The compiled step is HBM-roofline-bound, not MXU-bound
+    (``results/train_flop_attribution_r5.json``): the residual
+    activations of fwd+bwd over (rays × samples × width) dominate the
+    26.5 GB/step byte budget while the MXU sits at ~22% utilization.
+    ``jax.checkpoint`` trades recompute FLOPs (cheap here) for those
+    bytes. Gradients are mathematically identical (same program,
+    recomputed); "dots" keeps matmul outputs resident and recomputes
+    only the cheap elementwise chains between them."""
+    if remat == "none":
+        return loss_fn
+    if remat == "full":
+        return jax.checkpoint(loss_fn)
+    if remat == "dots":
+        return jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"unknown train_remat mode: {remat!r} "
+                     "(expected 'none' | 'full' | 'dots')")
+
+
 def _train_step_body(modules: VFNerfModules,
                      optimizer: optax.GradientTransformation,
                      statics: RenderStatics,
                      sup: SupervisionStatics,
                      loss_weights: VFLossWeights,
-                     loss_config: VFLossConfig):
+                     loss_config: VFLossConfig,
+                     remat: str = "none"):
     """The un-jitted single-step body shared by :func:`make_train_step`
     (one dispatch per step) and :func:`make_scan_train_step` (one dispatch
     per K steps via ``lax.scan``)."""
@@ -285,7 +309,7 @@ def _train_step_body(modules: VFNerfModules,
                                n_points_active=n_points_active)
 
         (loss, (parts, bn_updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            _remat_wrap(loss_fn, remat), has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -311,7 +335,8 @@ def make_train_step(modules: VFNerfModules,
                     statics: RenderStatics,
                     sup: SupervisionStatics,
                     loss_weights: VFLossWeights,
-                    loss_config: VFLossConfig
+                    loss_config: VFLossConfig,
+                    remat: str = "none"
                     ) -> Callable[..., Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. Donates the state + metric-sum buffers
     (in-place update on device; no HBM copy per step).
@@ -323,7 +348,7 @@ def make_train_step(modules: VFNerfModules,
     are fetched once per epoch (host↔device round-trips through a
     remote-attached TPU cost ~50-100 ms each)."""
     step = _train_step_body(modules, optimizer, statics, sup, loss_weights,
-                            loss_config)
+                            loss_config, remat=remat)
     return jax.jit(step, donate_argnums=(0, 1))
 
 
@@ -332,7 +357,8 @@ def make_scan_train_step(modules: VFNerfModules,
                          statics: RenderStatics,
                          sup: SupervisionStatics,
                          loss_weights: VFLossWeights,
-                         loss_config: VFLossConfig
+                         loss_config: VFLossConfig,
+                         remat: str = "none"
                          ) -> Callable[..., Tuple[TrainState,
                                                   Dict[str, jnp.ndarray]]]:
     """K train steps per dispatch: ``lax.scan`` of the step body over a
@@ -346,7 +372,7 @@ def make_scan_train_step(modules: VFNerfModules,
     accumulate, the per-iteration LR decay still advances with the
     optimizer count (pinned by ``tests/test_train_step.py``)."""
     step = _train_step_body(modules, optimizer, statics, sup, loss_weights,
-                            loss_config)
+                            loss_config, remat=remat)
 
     def scan_step(state: TrainState,
                   metric_sums: Dict[str, jnp.ndarray],
@@ -385,7 +411,8 @@ def make_span_scan_step(modules: VFNerfModules,
                         loss_weights: VFLossWeights,
                         loss_config: VFLossConfig,
                         masked_fine: bool,
-                        compact: bool = False
+                        compact: bool = False,
+                        remat: str = "none"
                         ) -> Callable[..., Tuple[TrainState, jnp.ndarray]]:
     """K train steps per dispatch **spanning epoch boundaries**.
 
@@ -409,7 +436,7 @@ def make_span_scan_step(modules: VFNerfModules,
     from vf_nerf_tpu.ops.density import get_beta, get_mean, get_scale
 
     step = _train_step_body(modules, optimizer, statics, sup, loss_weights,
-                            loss_config)
+                            loss_config, remat=remat)
 
     def span_step(state: TrainState,
                   batches: jnp.ndarray,

@@ -284,7 +284,8 @@ class VectorFieldNerfRunner:
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
                 self.model.modules, self.model.optimizer, statics, sup,
-                self.config.vf_loss_weights, self.config.vf_loss_config)
+                self.config.vf_loss_weights, self.config.vf_loss_config,
+                remat=self._remat())
         return self._step_cache[key]
 
     def _get_scan_step(self):
@@ -295,8 +296,14 @@ class VectorFieldNerfRunner:
         if key not in self._step_cache:
             self._step_cache[key] = make_scan_train_step(
                 self.model.modules, self.model.optimizer, statics, sup,
-                self.config.vf_loss_weights, self.config.vf_loss_config)
+                self.config.vf_loss_weights, self.config.vf_loss_config,
+                remat=self._remat())
         return self._step_cache[key]
+
+    def _remat(self) -> str:
+        """train_remat device knob ("none" default; see DeviceConfig)."""
+        return getattr(self.config.vf_nerf_config.device_config,
+                       "train_remat", "none")
 
     def _batch_rays(self) -> int:
         n = self.dataset.total_pixels
@@ -448,7 +455,8 @@ class VectorFieldNerfRunner:
                 self.model.modules, self.model.optimizer, statics, sup,
                 self.config.vf_loss_weights, self.config.vf_loss_config,
                 masked_fine=self._static_fine(),
-                compact=self._use_compact())
+                compact=self._use_compact(),
+                remat=self._remat())
         return self._step_cache[key]
 
     def _train_span(self, spd: int) -> None:
